@@ -1,0 +1,98 @@
+"""Network factory: plans architecture dict -> Flax module.
+
+Parity: distillation/nnunetv2/utilities/get_network_from_plans.py:9-43. The
+reference resolves torch classes by dotted name (pydoc.locate); plans files
+therefore contain names like ``dynamic_network_architectures.architectures.
+unet.PlainConvUNet`` and ``torch.nn.modules.conv.Conv3d``. We accept those
+names verbatim (so reference plans load unchanged) and map them onto our Flax
+model zoo.
+"""
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+
+from .unet import PlainConvUNet, ResidualEncoderUNet
+
+_ARCH_MAP = {
+    "PlainConvUNet": PlainConvUNet,
+    "LiteNNUNetStudent": PlainConvUNet,
+    "ResidualEncoderUNet": ResidualEncoderUNet,
+    "LiteResEncStudent": ResidualEncoderUNet,
+}
+
+
+def _dim_from_conv_op(conv_op_name: Optional[str], kernel_sizes) -> int:
+    if conv_op_name is not None:
+        if conv_op_name.endswith("3d"):
+            return 3
+        if conv_op_name.endswith("2d"):
+            return 2
+        if conv_op_name.endswith("1d"):
+            return 1
+    ks0 = kernel_sizes[0]
+    return len(ks0) if hasattr(ks0, "__len__") else 3
+
+
+def _negative_slope(nonlin_name: Optional[str], nonlin_kwargs: Optional[dict]) -> float:
+    if nonlin_name is None:
+        return 0.01
+    short = nonlin_name.rsplit(".", 1)[-1]
+    if short == "LeakyReLU":
+        return float((nonlin_kwargs or {}).get("negative_slope", 0.01))
+    if short == "ReLU":
+        return 0.0
+    raise ValueError(f"Unsupported nonlinearity {nonlin_name}")
+
+
+def build_network_from_arch_dict(architecture: dict, input_channels: int,
+                                 num_classes: int,
+                                 dtype: Optional[jnp.dtype] = None):
+    """architecture = plans['configurations'][cfg]['architecture']."""
+    return get_network_from_plans(
+        architecture["network_class_name"],
+        architecture["arch_kwargs"],
+        architecture.get("_kw_requires_import", ()),
+        input_channels, num_classes, dtype=dtype)
+
+
+def get_network_from_plans(arch_class_name: str, arch_kwargs: dict,
+                           arch_kwargs_req_import: Sequence[str],
+                           input_channels: int, output_channels: int,
+                           allow_init: bool = True,
+                           deep_supervision: Union[bool, None] = None,
+                           dtype: Optional[jnp.dtype] = None):
+    short = arch_class_name.rsplit(".", 1)[-1]
+    if short not in _ARCH_MAP:
+        raise ValueError(f"Unknown architecture class {arch_class_name}. "
+                         f"Supported: {sorted(_ARCH_MAP)}")
+    cls = _ARCH_MAP[short]
+
+    kw = dict(arch_kwargs)
+    dim = _dim_from_conv_op(kw.get("conv_op"), kw["kernel_sizes"])
+    slope = _negative_slope(kw.get("nonlin"), kw.get("nonlin_kwargs"))
+    norm_op = kw.get("norm_op")
+    if norm_op is not None and "InstanceNorm" not in norm_op:
+        raise ValueError(f"Only InstanceNorm is supported on the TPU path for now, "
+                         f"got {norm_op}")
+    norm_eps = float((kw.get("norm_op_kwargs") or {}).get("eps", 1e-5))
+
+    common = dict(
+        input_channels=input_channels,
+        n_stages=int(kw["n_stages"]),
+        features_per_stage=tuple(int(f) for f in kw["features_per_stage"]),
+        kernel_sizes=tuple(tuple(k) if hasattr(k, "__len__") else (int(k),) * dim
+                           for k in kw["kernel_sizes"]),
+        strides=tuple(tuple(s) if hasattr(s, "__len__") else (int(s),) * dim
+                      for s in kw["strides"]),
+        num_classes=output_channels,
+        n_conv_per_stage_decoder=tuple(int(n) for n in kw["n_conv_per_stage_decoder"]),
+        conv_bias=bool(kw.get("conv_bias", True)),
+        norm_eps=norm_eps,
+        nonlin_negative_slope=slope,
+        dim=dim,
+        dtype=dtype,
+    )
+    if cls is PlainConvUNet:
+        return cls(n_conv_per_stage=tuple(int(n) for n in kw["n_conv_per_stage"]), **common)
+    return cls(n_blocks_per_stage=tuple(
+        int(n) for n in (kw.get("n_blocks_per_stage") or kw["n_conv_per_stage"])), **common)

@@ -1,0 +1,170 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_nnunet_tpu.models.factory import get_network_from_plans
+from fast_nnunet_tpu.models.students import (
+    apply_block_strategy, build_lite_student, reduce_features)
+from fast_nnunet_tpu.models.estimator import compute_conv_feature_map_size
+
+
+ARCH_3D = {
+    "n_stages": 3,
+    "features_per_stage": [8, 16, 32],
+    "conv_op": "torch.nn.modules.conv.Conv3d",
+    "kernel_sizes": [[3, 3, 3]] * 3,
+    "strides": [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+    "n_conv_per_stage": [2, 2, 2],
+    "n_conv_per_stage_decoder": [2, 2],
+    "conv_bias": True,
+    "norm_op": "torch.nn.modules.instancenorm.InstanceNorm3d",
+    "norm_op_kwargs": {"eps": 1e-5, "affine": True},
+    "dropout_op": None,
+    "dropout_op_kwargs": None,
+    "nonlin": "torch.nn.LeakyReLU",
+    "nonlin_kwargs": {"inplace": True},
+}
+
+
+def _make(arch_name="dynamic_network_architectures.architectures.unet.PlainConvUNet",
+          kw=None, in_ch=1, n_classes=3):
+    return get_network_from_plans(arch_name, kw or ARCH_3D, (), in_ch, n_classes)
+
+
+@pytest.fixture(scope="module")
+def plain_net_and_params():
+    net = _make()
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = net.init(jax.random.PRNGKey(0), x, deep_supervision=True)
+    return net, params
+
+
+def test_plain_unet_forward_shapes(plain_net_and_params):
+    net, params = plain_net_and_params
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    out = net.apply(params, x)
+    assert out.shape == (1, 16, 16, 16, 3)
+    ds = net.apply(params, x, deep_supervision=True)
+    assert isinstance(ds, tuple) and len(ds) == 2
+    assert ds[0].shape == (1, 16, 16, 16, 3)
+    assert ds[1].shape == (1, 8, 8, 8, 3)
+
+
+def test_plain_unet_anisotropic_strides():
+    kw = dict(ARCH_3D)
+    kw["strides"] = [[1, 1, 1], [1, 2, 2], [2, 2, 2]]
+    kw["kernel_sizes"] = [[1, 3, 3], [3, 3, 3], [3, 3, 3]]
+    net = _make(kw=kw)
+    x = jnp.zeros((1, 4, 16, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 4, 16, 8, 3)
+
+
+def test_resenc_forward():
+    kw = dict(ARCH_3D)
+    del kw["n_conv_per_stage"]
+    kw["n_blocks_per_stage"] = [1, 2, 2]
+    kw["n_conv_per_stage_decoder"] = [1, 1]
+    net = get_network_from_plans(
+        "dynamic_network_architectures.architectures.unet.ResidualEncoderUNet",
+        kw, (), 2, 4)
+    x = jnp.zeros((1, 8, 8, 8, 2))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 8, 8, 8, 4)
+
+
+def test_2d_network():
+    kw = {
+        "n_stages": 3, "features_per_stage": [8, 16, 32],
+        "conv_op": "torch.nn.modules.conv.Conv2d",
+        "kernel_sizes": [[3, 3]] * 3, "strides": [[1, 1], [2, 2], [2, 2]],
+        "n_conv_per_stage": [2, 2, 2], "n_conv_per_stage_decoder": [2, 2],
+        "norm_op": "torch.nn.modules.instancenorm.InstanceNorm2d",
+        "nonlin": "torch.nn.LeakyReLU",
+    }
+    net = _make(kw=kw)
+    x = jnp.zeros((2, 24, 24, 1))
+    params = net.init(jax.random.PRNGKey(0), x, deep_supervision=True)
+    out = net.apply(params, x)
+    assert out.shape == (2, 24, 24, 3)
+
+
+def test_ds_flag_does_not_change_params(plain_net_and_params):
+    net, params = plain_net_and_params
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    p2 = net.init(jax.random.PRNGKey(0), x, deep_supervision=False)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+
+
+def test_instance_norm_scale_invariance(plain_net_and_params):
+    net, params = plain_net_and_params
+    x = np.random.RandomState(0).rand(1, 16, 16, 16, 1).astype(np.float32)
+    out1 = net.apply(params, jnp.asarray(x))
+    out2 = net.apply(params, jnp.asarray(x * 5.0))
+    c = np.corrcoef(np.asarray(out1).ravel(), np.asarray(out2).ravel())[0, 1]
+    assert c > 0.99
+
+
+def test_bf16_compute_dtype():
+    net = _make()
+    x = jnp.zeros((1, 8, 8, 8, 1), jnp.bfloat16)
+    net16 = net.clone(dtype=jnp.bfloat16)
+    params = net16.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_leaves(params)[0].dtype == jnp.float32  # fp32 params
+    out = net16.apply(params, x)
+    assert out.dtype == jnp.float32  # logits cast back at the heads
+
+
+def test_feature_reduction():
+    assert reduce_features([32, 64, 128, 256, 320, 320], 2) == (16, 32, 64, 128, 160, 160)
+    assert reduce_features([32, 64], 8) == (8, 8)
+
+
+def test_block_strategies():
+    blocks = [1, 3, 4, 6, 6, 6]
+    assert apply_block_strategy(blocks, "reduce") == (1, 1, 2, 3, 3, 3)
+    assert apply_block_strategy(blocks, "keep") == (1, 3, 4, 6, 6, 6)
+    assert apply_block_strategy(blocks, "increase") == (2, 4, 5, 7, 7, 7)
+    assert apply_block_strategy(blocks, "adaptive") == (1, 3, 4, 3, 3, 3)
+    with pytest.raises(ValueError):
+        apply_block_strategy(blocks, "bogus")
+
+
+def test_student_fewer_params():
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    teacher = _make()
+    student = build_lite_student(
+        "dynamic_network_architectures.architectures.unet.PlainConvUNet",
+        ARCH_3D, 1, 3, reduction_factor=2)
+    pt = teacher.init(jax.random.PRNGKey(0), x)
+    ps = student.init(jax.random.PRNGKey(0), x)
+    nt = sum(p.size for p in jax.tree_util.tree_leaves(pt))
+    ns = sum(p.size for p in jax.tree_util.tree_leaves(ps))
+    assert ns < nt * 0.35  # ~4x fewer (width/2 => params/4, floor at 8 features)
+
+
+def test_estimator_tiny_golden():
+    # hand-computed: 2 stages, feat (8, 16), strides ((1,1,1),(2,2,2)), 2 convs/stage,
+    # patch 8^3, 3 classes, decoder 2 convs, DS on.
+    kw = {"n_stages": 2, "features_per_stage": [8, 16],
+          "kernel_sizes": [[3, 3, 3]] * 2, "strides": [[1, 1, 1], [2, 2, 2]],
+          "n_conv_per_stage": [2, 2], "n_conv_per_stage_decoder": [2]}
+    # encoder: stage0: 2 convs @ 8ch * 512 vox = 8192; stage1: 2 convs @16ch*64 = 2048
+    # decoder: transpconv 8ch@512=4096; 2 convs 8ch@512=8192; seg head 3ch@512=1536
+    expected = 8192 + 2048 + 4096 + 8192 + 1536
+    got = compute_conv_feature_map_size("PlainConvUNet", kw, (8, 8, 8), 3, True)
+    assert got == expected
+
+
+def test_estimator_resenc_counts_skip():
+    kw = {"n_stages": 2, "features_per_stage": [8, 8],
+          "kernel_sizes": [[3, 3, 3]] * 2, "strides": [[1, 1, 1], [2, 2, 2]],
+          "n_blocks_per_stage": [1, 1], "n_conv_per_stage_decoder": [1]}
+    # stem 8*512=4096; stage0 (no skip) 2*8*512=8192; stage1 (skip) 3*8*64=1536
+    # decoder: transpconv 4096 + conv 4096 + head 1536
+    expected = 4096 + 8192 + 1536 + 4096 + 4096 + 1536
+    got = compute_conv_feature_map_size("ResidualEncoderUNet", kw, (8, 8, 8), 3, True)
+    assert got == expected
