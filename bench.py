@@ -1,0 +1,87 @@
+"""Headline benchmark: whole-volume sliding-window segmentation, bone_turbo
+config (ref engine/config/fast_nnunet_bone_turbo.ini: 61 classes, patch
+160x96x96, step 0.5, gaussian on, mirroring off), 512^3 CT, distilled r=2
+student — the reference's C++/TensorRT engine does the comparable abdominal
+512x512x500 CT in 4.5-7.5 s on RTX-class GPUs (docs/Engine.md:33); we take the
+6.0 s midpoint as baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Usage: python bench.py [--tiny] [--size N] [--classes K] [--repeats R]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 6.0  # reference TRT engine, abdominal CT 512x512x500+
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="small smoke config (CPU-safe)")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--classes", type=int, default=61)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _bone_turbo_student
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.models.factory import get_network_from_plans
+
+    if args.tiny:
+        kw = {"n_stages": 3, "features_per_stage": [8, 16, 32],
+              "kernel_sizes": [[3, 3, 3]] * 3, "strides": [[1, 1, 1]] + [[2, 2, 2]] * 2,
+              "n_conv_per_stage": [2] * 3, "n_conv_per_stage_decoder": [2] * 2,
+              "nonlin": "torch.nn.LeakyReLU"}
+        net = get_network_from_plans("PlainConvUNet", kw, (), 1, 3,
+                                     dtype=jnp.bfloat16)
+        patch = (16, 16, 16)
+        num_classes = 3
+        size = 48
+    else:
+        num_classes = args.classes
+        net = _bone_turbo_student(num_classes=num_classes, dtype=jnp.bfloat16)
+        # chunk axis (axis 0) carries the smallest patch extent so z-chunks fit HBM
+        patch = (96, 96, 160)
+        size = args.size
+
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1), jnp.bfloat16),
+                      deep_supervision=False)
+
+    engine = SlidingWindowEngine(
+        net, patch, num_classes,
+        tile_step_size=0.5, use_gaussian=True, mirror_axes=(),
+        compute_dtype=jnp.bfloat16, acc_dtype=jnp.float32,
+        shape_bucket=32, tile_bucket=8,
+        max_accumulator_bytes=8 * 1024 ** 3)
+
+    rng = np.random.RandomState(0)
+    vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2
+
+    # warmup (compile)
+    seg = engine.predict_segmentation(params, vol)
+    assert seg.shape == (size, size, size)
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        engine.predict_segmentation(params, vol)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    print(json.dumps({
+        "metric": f"sec/CT volume ({size}^3, {num_classes} classes, bone_turbo "
+                  f"sliding-window, r=2 student)",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_nnunet_tpu.inference.engine import SlidingWindowEngine, _flip_combos
+from fast_nnunet_tpu.models.factory import get_network_from_plans
+from fast_nnunet_tpu.ops.sliding_window import (
+    compute_gaussian, compute_steps_for_sliding_window, tile_coords_from_steps)
+
+PATCH = (8, 8, 8)
+K = 2
+
+
+@pytest.fixture(scope="module")
+def tiny_net_and_params():
+    kw = {"n_stages": 2, "features_per_stage": [4, 8],
+          "kernel_sizes": [[3, 3, 3]] * 2, "strides": [[1, 1, 1], [2, 2, 2]],
+          "n_conv_per_stage": [1, 1], "n_conv_per_stage_decoder": [1],
+          "nonlin": "torch.nn.LeakyReLU"}
+    net = get_network_from_plans("PlainConvUNet", kw, (), 1, K)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *PATCH, 1)),
+                      deep_supervision=False)
+    params2 = net.init(jax.random.PRNGKey(7), jnp.zeros((1, *PATCH, 1)),
+                       deep_supervision=False)
+    return net, params, params2
+
+
+def naive_sliding_window(net, params, volume, patch, step, mirror_axes=()):
+    """Reference implementation: plain python loops + numpy accumulation."""
+    spatial = volume.shape[1:]
+    tight = tuple(max(s, p) for s, p in zip(spatial, patch))
+    vol = np.zeros(tight + (volume.shape[0],), np.float32)
+    vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
+    g = compute_gaussian(patch).astype(np.float32)
+    steps = compute_steps_for_sliding_window(tight, patch, step)
+    coords = tile_coords_from_steps(steps)
+    acc = np.zeros(tight + (K,), np.float32)
+    w = np.zeros(tight, np.float32)
+    combos = _flip_combos(mirror_axes)
+    for c in coords:
+        sl = tuple(slice(int(ci), int(ci) + p) for ci, p in zip(c, patch))
+        x = vol[sl][None]
+        out = 0
+        for combo in combos:
+            axes = tuple(a + 1 for a in combo)
+            xin = np.flip(x, axes) if combo else x
+            o = np.asarray(net.apply(params, jnp.asarray(xin), deep_supervision=False))
+            out = out + (np.flip(o, axes) if combo else o)
+        out = out[0] / len(combos)
+        acc[sl] += out * g[..., None]
+        w[sl] += g
+    logits = acc / w[..., None]
+    logits = logits[tuple(slice(0, s) for s in spatial)]
+    return np.moveaxis(logits, -1, 0)
+
+
+def test_engine_matches_naive(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, tile_step_size=0.5, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(0).rand(1, 12, 11, 9).astype(np.float32)
+    got = eng.predict_logits(params, vol)
+    want = naive_sliding_window(net, params, vol, PATCH, 0.5)
+    assert got.shape == (K, 12, 11, 9)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_engine_volume_smaller_than_patch(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4, compute_dtype=jnp.float32)
+    vol = np.random.RandomState(1).rand(1, 5, 6, 7).astype(np.float32)
+    got = eng.predict_logits(params, vol)
+    want = naive_sliding_window(net, params, vol, PATCH, 0.5)
+    assert got.shape == (K, 5, 6, 7)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_engine_mirroring(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, mirror_axes=(0, 1, 2), shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(2).rand(1, 9, 9, 9).astype(np.float32)
+    got = eng.predict_logits(params, vol)
+    want = naive_sliding_window(net, params, vol, PATCH, 0.5, mirror_axes=(0, 1, 2))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
+def test_engine_fold_ensembling_is_logit_mean(tiny_net_and_params):
+    net, params, params2 = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4, compute_dtype=jnp.float32)
+    vol = np.random.RandomState(3).rand(1, 10, 10, 10).astype(np.float32)
+    both = eng.predict_logits([params, params2], vol)
+    single1 = eng.predict_logits(params, vol)
+    single2 = eng.predict_logits(params2, vol)
+    np.testing.assert_allclose(both, (single1 + single2) / 2, atol=2e-4, rtol=2e-3)
+
+
+def test_engine_chunked_equals_unchunked(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    vol = np.random.RandomState(4).rand(1, 24, 10, 10).astype(np.float32)
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4, compute_dtype=jnp.float32)
+    full = eng.predict_logits(params, vol)
+    eng_small = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                                    compute_dtype=jnp.float32,
+                                    max_accumulator_bytes=12 * 12 * 12 * 3 * 4)
+    chunked = eng_small.predict_logits(params, vol)
+    np.testing.assert_allclose(chunked, full, atol=2e-4, rtol=2e-3)
+
+
+def test_engine_no_gaussian(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, use_gaussian=False, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(5).rand(1, 12, 12, 12).astype(np.float32)
+    got = eng.predict_logits(params, vol)
+    assert got.shape == (K, 12, 12, 12)
+    assert np.isfinite(got).all()
+
+
+def test_predict_segmentation(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4, compute_dtype=jnp.float32)
+    vol = np.random.RandomState(6).rand(1, 9, 9, 9).astype(np.float32)
+    seg = eng.predict_segmentation(params, vol)
+    assert seg.shape == (9, 9, 9)
+    assert set(np.unique(seg)) <= {0, 1}
