@@ -1,0 +1,236 @@
+"""Self-contained NIfTI-1 I/O in pure numpy (neither nibabel nor SimpleITK is a
+dependency of this framework; capability parity with the reference's
+SimpleITKIO/NibabelIO, ref distillation/nnunetv2/imageio/simpleitk_reader_writer.py
+and nibabel_reader_writer.py).
+
+Axis convention: on-disk NIfTI data is Fortran-ordered (i fastest). We expose
+arrays as (k, j, i) with spacing (pixdim3, pixdim2, pixdim1) — the same reversal
+the reference gets from SimpleITK's GetArrayFromImage, so downstream spacing
+math matches the reference voxel-for-voxel. The full header is kept in
+properties for geometry-exact round trips.
+"""
+import gzip
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .base import BaseReaderWriter
+
+_DTYPE_BY_CODE = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
+    256: np.int8, 512: np.uint16, 768: np.uint32, 1024: np.int64, 1280: np.uint64,
+}
+_CODE_BY_DTYPE = {np.dtype(v): k for k, v in _DTYPE_BY_CODE.items()}
+
+HEADER_SIZE = 348
+
+
+def _open(fname: str, mode: str = "rb"):
+    if fname.endswith(".gz"):
+        return gzip.open(fname, mode)
+    return open(fname, mode)
+
+
+def read_nifti(fname: str) -> Tuple[np.ndarray, dict]:
+    """Returns (data in on-disk (i, j, k[, t]) index order as a C-array, header dict)."""
+    with _open(fname) as f:
+        raw = f.read()
+    hdr = raw[:HEADER_SIZE]
+    sizeof_hdr = struct.unpack("<i", hdr[:4])[0]
+    if sizeof_hdr == 348:
+        endian = "<"
+    elif struct.unpack(">i", hdr[:4])[0] == 348:
+        endian = ">"
+    else:
+        raise ValueError(f"{fname}: not a NIfTI-1 file (sizeof_hdr != 348). "
+                         "NIfTI-2 is not supported yet.")
+
+    def unpack(fmt, offset, count=1):
+        size = struct.calcsize(endian + fmt * count)
+        return struct.unpack(endian + fmt * count, hdr[offset:offset + size])
+
+    dim = unpack("h", 40, 8)
+    datatype = unpack("h", 70)[0]
+    pixdim = unpack("f", 76, 8)
+    vox_offset = int(unpack("f", 108)[0])
+    scl_slope = unpack("f", 112)[0]
+    scl_inter = unpack("f", 116)[0]
+    qform_code = unpack("h", 252)[0]
+    sform_code = unpack("h", 254)[0]
+    quatern = unpack("f", 256, 6)  # b, c, d, qoffset x/y/z
+    srow_x = unpack("f", 280, 4)
+    srow_y = unpack("f", 296, 4)
+    srow_z = unpack("f", 312, 4)
+    magic = hdr[344:348]
+    if magic[:2] not in (b"n+", b"ni"):
+        raise ValueError(f"{fname}: bad NIfTI magic {magic!r}")
+
+    ndim = dim[0]
+    shape = tuple(max(1, d) for d in dim[1:1 + max(ndim, 3)])
+    if datatype not in _DTYPE_BY_CODE:
+        raise ValueError(f"{fname}: unsupported NIfTI datatype code {datatype}")
+    dtype = np.dtype(_DTYPE_BY_CODE[datatype]).newbyteorder(endian)
+
+    count = int(np.prod(shape))
+    data = np.frombuffer(raw, dtype=dtype, count=count,
+                         offset=max(vox_offset, HEADER_SIZE + 4 if magic[:2] == b"n+" else HEADER_SIZE))
+    data = data.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0 else 1.0
+        data = data * np.float32(slope) + np.float32(scl_inter)
+
+    header = {
+        "dim": list(dim), "datatype": int(datatype), "pixdim": list(pixdim),
+        "scl_slope": float(scl_slope), "scl_inter": float(scl_inter),
+        "qform_code": int(qform_code), "sform_code": int(sform_code),
+        "quatern": list(quatern),
+        "srow_x": list(srow_x), "srow_y": list(srow_y), "srow_z": list(srow_z),
+        "endian": endian,
+    }
+    return np.ascontiguousarray(data.astype(data.dtype.newbyteorder("="))), header
+
+
+def _affine_from_header(h: dict) -> np.ndarray:
+    if h["sform_code"] > 0:
+        return np.array([h["srow_x"], h["srow_y"], h["srow_z"], [0, 0, 0, 1]],
+                        dtype=np.float64)
+    # qform / fallback: quaternion rotation * pixdim scaling
+    b, c, d, ox, oy, oz = h["quatern"]
+    a2 = max(0.0, 1.0 - b * b - c * c - d * d)
+    a = np.sqrt(a2)
+    R = np.array([
+        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+        [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c]])
+    qfac = -1.0 if h["pixdim"][0] < 0 else 1.0
+    scales = np.array([h["pixdim"][1], h["pixdim"][2], h["pixdim"][3] * qfac])
+    aff = np.eye(4)
+    aff[:3, :3] = R * scales
+    aff[:3, 3] = [ox, oy, oz]
+    return aff
+
+
+def write_nifti(fname: str, data: np.ndarray, header: Optional[dict] = None,
+                spacing: Optional[Sequence[float]] = None) -> None:
+    """data in on-disk (i, j, k) index order. Either a header dict (round-trip) or
+    a spacing (i, j, k order) for fresh files."""
+    data = np.asarray(data)
+    if data.dtype == bool:
+        data = data.astype(np.uint8)
+    if np.dtype(data.dtype) not in _CODE_BY_DTYPE:
+        data = data.astype(np.float32)
+    code = _CODE_BY_DTYPE[np.dtype(data.dtype)]
+    ndim = data.ndim
+    dim = [ndim] + list(data.shape) + [1] * (7 - ndim)
+
+    if header is not None:
+        pixdim = list(header["pixdim"])
+        qform_code, sform_code = header["qform_code"], header["sform_code"]
+        quatern = header["quatern"]
+        srow_x, srow_y, srow_z = header["srow_x"], header["srow_y"], header["srow_z"]
+    else:
+        spacing = list(spacing) if spacing is not None else [1.0] * 3
+        pixdim = [1.0] + spacing[:3] + [1.0] * (7 - 3)
+        qform_code, sform_code = 0, 1
+        quatern = [0.0] * 6
+        srow_x = [spacing[0], 0, 0, 0]
+        srow_y = [0, spacing[1], 0, 0]
+        srow_z = [0, 0, spacing[2], 0]
+
+    hdr = bytearray(HEADER_SIZE)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
+    struct.pack_into("<8f", hdr, 76, *pixdim)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)    # scl_inter
+    struct.pack_into("<h", hdr, 252, qform_code)
+    struct.pack_into("<h", hdr, 254, sform_code)
+    struct.pack_into("<6f", hdr, 256, *quatern)
+    struct.pack_into("<4f", hdr, 280, *srow_x)
+    struct.pack_into("<4f", hdr, 296, *srow_y)
+    struct.pack_into("<4f", hdr, 312, *srow_z)
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00\x00\x00\x00" + np.asfortranarray(data).tobytes(order="F")
+    with _open(fname, "wb") as f:
+        f.write(payload)
+
+
+class NiftiIO(BaseReaderWriter):
+    """(C, X, Y, Z) with X=k, Y=j, Z=i (reversed on-disk order) and spacing
+    reversed to match — the reference's SimpleITK convention."""
+    supported_file_endings = [".nii", ".nii.gz"]
+
+    def read_images(self, image_fnames: Sequence[str]) -> Tuple[np.ndarray, dict]:
+        images, spacings, headers = [], [], []
+        for f in image_fnames:
+            data, hdr = read_nifti(f)
+            if data.ndim == 4:  # 4D volume file: channels are the 4th dim
+                chans = [data[..., t].transpose(2, 1, 0) for t in range(data.shape[3])]
+                sp = hdr["pixdim"][1:4][::-1]
+            elif data.ndim == 3:
+                chans = [data.transpose(2, 1, 0)]
+                sp = hdr["pixdim"][1:4][::-1]
+            elif data.ndim == 2:
+                chans = [data.transpose(1, 0)]
+                sp = hdr["pixdim"][1:3][::-1]
+            else:
+                raise ValueError(f"{f}: unsupported ndim {data.ndim}")
+            images.extend(chans)
+            spacings.append([abs(s) if s != 0 else 1.0 for s in sp])
+            headers.append(hdr)
+
+        if not self._check_all_same([i.shape for i in images]):
+            raise RuntimeError(f"Image channels have mismatched shapes: "
+                               f"{[i.shape for i in images]} ({image_fnames})")
+        if not self._check_all_same(spacings):
+            raise RuntimeError(f"Image channels have mismatched spacings: {spacings}")
+
+        data = np.stack(images).astype(np.float32)
+        if data.ndim == 3:  # 2D natural case: (C, X, Y) -> fake Z
+            data = data[:, None]
+            spacing = [999.0] + list(spacings[0])[:2]
+        else:
+            spacing = list(spacings[0])
+        props = {
+            "spacing": spacing,
+            "nifti_header": headers[0],
+            "affine": _affine_from_header(headers[0]).tolist(),
+        }
+        return data, props
+
+    def read_seg(self, seg_fname: str) -> Tuple[np.ndarray, dict]:
+        data, props = self.read_images([seg_fname])
+        return data, props
+
+    def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict) -> None:
+        hdr = properties.get("nifti_header")
+        if seg.ndim == 3 and seg.shape[0] == 1 and len(properties.get("spacing", [])) == 3 \
+                and properties["spacing"][0] == 999.0:
+            seg = seg[0]  # fake-Z 2D case
+        if seg.ndim == 2:
+            seg_disk = seg.transpose(1, 0)
+        else:
+            seg_disk = seg.transpose(2, 1, 0)  # back to (i, j, k)
+        dtype = np.uint8 if seg.max() < 255 else np.uint16
+        if hdr is not None:
+            hdr = dict(hdr)
+            hdr_dim = [seg_disk.ndim] + list(seg_disk.shape) + [1] * (7 - seg_disk.ndim)
+            hdr["dim"] = hdr_dim
+            write_nifti(output_fname, seg_disk.astype(dtype), header=hdr)
+        else:
+            spacing = properties["spacing"][::-1]
+            write_nifti(output_fname, seg_disk.astype(dtype), spacing=spacing)
+
+
+# alias matching reference plans files ("SimpleITKIO" is the registered default)
+class SimpleITKIO(NiftiIO):
+    pass
+
+
+class NibabelIO(NiftiIO):
+    pass

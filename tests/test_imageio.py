@@ -1,0 +1,108 @@
+import os
+
+import numpy as np
+import pytest
+
+from fast_nnunet_tpu.imageio.nifti import NiftiIO, read_nifti, write_nifti
+from fast_nnunet_tpu.imageio.natural_image import NaturalImage2DIO
+from fast_nnunet_tpu.imageio.registry import (
+    determine_reader_writer_from_dataset_json, find_reader_writer_by_name)
+
+
+def test_nifti_roundtrip_raw(tmp_path):
+    data = np.random.RandomState(0).randint(0, 1000, (7, 9, 11)).astype(np.int16)
+    f = str(tmp_path / "x.nii.gz")
+    write_nifti(f, data, spacing=(1.5, 0.7, 3.0))
+    back, hdr = read_nifti(f)
+    np.testing.assert_array_equal(back, data)
+    np.testing.assert_allclose(hdr["pixdim"][1:4], [1.5, 0.7, 3.0], rtol=1e-6)
+
+
+def test_nifti_uncompressed(tmp_path):
+    data = np.random.RandomState(1).rand(4, 5, 6).astype(np.float32)
+    f = str(tmp_path / "x.nii")
+    write_nifti(f, data, spacing=(1, 1, 1))
+    back, _ = read_nifti(f)
+    np.testing.assert_allclose(back, data)
+
+
+def test_readerwriter_convention(tmp_path):
+    # (i, j, k) on disk with spacing (si, sj, sk) -> array (k, j, i), spacing reversed
+    data = np.zeros((4, 5, 6), np.float32)
+    data[1, 2, 3] = 7.0
+    f = str(tmp_path / "img_0000.nii.gz")
+    write_nifti(f, data, spacing=(0.5, 1.0, 2.0))
+    io = NiftiIO()
+    arr, props = io.read_images([f])
+    assert arr.shape == (1, 6, 5, 4)
+    assert arr[0, 3, 2, 1] == 7.0
+    assert props["spacing"] == [2.0, 1.0, 0.5]
+
+
+def test_write_seg_roundtrip_geometry(tmp_path):
+    io = NiftiIO()
+    img = np.random.RandomState(2).rand(8, 6, 4).astype(np.float32)
+    f = str(tmp_path / "case_0000.nii.gz")
+    write_nifti(f, img, spacing=(1.0, 2.0, 3.0))
+    arr, props = io.read_images([f])
+    seg = (arr[0] > 0.5).astype(np.uint8)
+    out = str(tmp_path / "seg.nii.gz")
+    io.write_seg(seg, out, props)
+    seg_back, props2 = io.read_seg(out)
+    np.testing.assert_array_equal(seg_back[0], seg)
+    assert props2["spacing"] == props["spacing"]
+
+
+def test_multichannel_consistency_check(tmp_path):
+    io = NiftiIO()
+    f1 = str(tmp_path / "a_0000.nii.gz")
+    f2 = str(tmp_path / "a_0001.nii.gz")
+    write_nifti(f1, np.zeros((4, 4, 4), np.float32), spacing=(1, 1, 1))
+    write_nifti(f2, np.zeros((4, 4, 5), np.float32), spacing=(1, 1, 1))
+    with pytest.raises(RuntimeError):
+        io.read_images([f1, f2])
+
+
+def test_4d_nifti_channels(tmp_path):
+    data = np.random.RandomState(3).rand(4, 5, 6, 2).astype(np.float32)
+    f = str(tmp_path / "x.nii.gz")
+    write_nifti(f, data, spacing=(1, 1, 1))
+    arr, props = NiftiIO().read_images([f])
+    assert arr.shape == (2, 6, 5, 4)
+    np.testing.assert_allclose(arr[1], data[..., 1].transpose(2, 1, 0))
+
+
+def test_scl_slope_applied(tmp_path):
+    import struct
+    data = np.ones((2, 2, 2), np.int16) * 10
+    f = str(tmp_path / "x.nii")
+    write_nifti(f, data, spacing=(1, 1, 1))
+    raw = bytearray(open(f, "rb").read())
+    struct.pack_into("<f", raw, 112, 2.0)   # scl_slope
+    struct.pack_into("<f", raw, 116, -5.0)  # scl_inter
+    open(f, "wb").write(bytes(raw))
+    back, _ = read_nifti(f)
+    np.testing.assert_allclose(back, 15.0)
+
+
+def test_natural_image_io(tmp_path):
+    from PIL import Image
+    arr = np.random.RandomState(4).randint(0, 255, (10, 12), np.uint8)
+    f = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(f)
+    io = NaturalImage2DIO()
+    data, props = io.read_images([f])
+    assert data.shape == (1, 1, 10, 12)
+    assert props["spacing"] == (999.0, 1.0, 1.0)
+    out = str(tmp_path / "seg.png")
+    io.write_seg((data[0] > 128).astype(np.uint8), out, props)
+    seg, _ = io.read_seg(out)
+    assert set(np.unique(seg)) <= {0, 1}
+
+
+def test_registry():
+    assert find_reader_writer_by_name("SimpleITKIO").__name__ in ("SimpleITKIO", "NiftiIO")
+    dj = {"file_ending": ".nii.gz"}
+    assert determine_reader_writer_from_dataset_json(dj).supported_file_endings
+    dj2 = {"overwrite_image_reader_writer": "NaturalImage2DIO", "file_ending": ".png"}
+    assert determine_reader_writer_from_dataset_json(dj2) is NaturalImage2DIO
