@@ -1,0 +1,428 @@
+"""NNUNetTrainer: the training runtime.
+
+Capability parity with the reference trainer (ref distillation/nnunetv2/training/
+nnUNetTrainer/nnUNetTrainer.py:70-1383), TPU-first:
+
+- the hot loop is a single jitted train step (no autocast/GradScaler — bf16 has
+  fp32 range; no DDP wrap — the batch is sharded over the mesh 'data' axis and
+  XLA inserts the gradient all-reduce)
+- host-side thread prefetch feeds device batches (replaces
+  NonDetMultiThreadedAugmenter worker processes)
+- checkpoints are self-describing pickles (training/checkpoint.py) with the
+  same key contract as the reference, plus plans/dataset.json copies in the
+  results folder
+- 1000 epochs x 250 iters, SGD nesterov 0.99 poly LR 1e-2, grad clip 12,
+  oversample 0.33, EMA pseudo-dice model selection — all reference defaults
+  (nnUNetTrainer.py:145-151)
+"""
+import os
+import time
+from datetime import datetime
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.plans import PlansManager
+from ..models.factory import build_network_from_arch_dict
+from ..core.labels import determine_num_input_channels
+from ..parallel.mesh import data_sharding, make_mesh, replicate, replicated_sharding
+from ..utils.io import (isfile, join, load_json, maybe_mkdir_p, save_json)
+from ..utils.misc import generate_crossval_split
+from .augment import (TrainingAugmenter, ValidationAugmenter,
+                      configure_rotation_dummyDA_mirroring_and_initial_patch_size)
+from .checkpoint import load_checkpoint as load_ckpt_file
+from .checkpoint import restore_params, save_checkpoint
+from .dataloader import AsyncBatchIterator, PatchSampler
+from .dataset import NpyCaseDataset
+from .logger import NNUNetLogger
+from .optimizers import nnunet_sgd
+from .schedules import poly_lr_jax
+from .train_step import (TrainState, create_train_state, make_train_step,
+                         make_val_step)
+
+
+class NNUNetTrainer:
+    def __init__(self, plans: Union[dict, str], configuration: str, fold: int,
+                 dataset_json: dict, device=None):
+        self.plans_manager = PlansManager(plans)
+        self.configuration_manager = self.plans_manager.get_configuration(configuration)
+        self.configuration_name = configuration
+        self.dataset_json = dataset_json
+        self.fold = fold
+        self.label_manager = self.plans_manager.get_label_manager(dataset_json)
+
+        # ---- hyperparameters (reference defaults)
+        self.initial_lr = 1e-2
+        self.weight_decay = 3e-5
+        self.oversample_foreground_percent = 0.33
+        self.probabilistic_oversampling = False
+        self.num_iterations_per_epoch = 250
+        self.num_val_iterations_per_epoch = 50
+        self.num_epochs = 1000
+        self.current_epoch = 0
+        self.enable_deep_supervision = True
+        self.save_every = 50
+        self.compute_dtype = jnp.bfloat16
+
+        self._best_ema = None
+        self.logger = NNUNetLogger()
+        self.was_initialized = False
+
+        self.preprocessed_dataset_folder_base = None
+        self.output_folder_base = None
+        self.output_folder = None
+        try:
+            from ..paths import get_preprocessed_folder, get_results_folder
+            self.preprocessed_dataset_folder_base = join(
+                get_preprocessed_folder(), self.plans_manager.dataset_name)
+            self.output_folder_base = join(
+                get_results_folder(), self.plans_manager.dataset_name,
+                f"{self.__class__.__name__}__{self.plans_manager.plans_name}__"
+                f"{configuration}")
+            self.output_folder = join(self.output_folder_base, f"fold_{fold}")
+        except RuntimeError:
+            pass  # paths unset: fine for pure in-memory use
+
+        self.network = None
+        self.params = None
+        self.optimizer = None
+        self.train_state: Optional[TrainState] = None
+        self.mesh = None
+        self._jit_train_step = None
+        self._jit_val_step = None
+        self.inference_allowed_mirroring_axes = None
+        self.dataloader_train = None
+        self.dataloader_val = None
+        self.log_file = None
+
+    # ------------------------------------------------------------------ setup
+    @property
+    def preprocessed_dataset_folder(self) -> str:
+        return join(self.preprocessed_dataset_folder_base,
+                    self.configuration_manager.data_identifier)
+
+    def print_to_log_file(self, *args, also_print_to_console: bool = True) -> None:
+        msg = " ".join(str(a) for a in args)
+        stamped = f"{datetime.now().isoformat(timespec='seconds')}: {msg}"
+        if self.output_folder is not None:
+            maybe_mkdir_p(self.output_folder)
+            if self.log_file is None:
+                self.log_file = join(self.output_folder,
+                                     f"training_log_{int(time.time())}.txt")
+            try:
+                with open(self.log_file, "a") as f:
+                    f.write(stamped + "\n")
+            except IOError:
+                pass
+        if also_print_to_console:
+            print(stamped)
+
+    def _get_deep_supervision_scales(self) -> Optional[List[List[float]]]:
+        if not self.enable_deep_supervision:
+            return None
+        strides = self.configuration_manager.pool_op_kernel_sizes
+        scales = list(list(i) for i in 1 / np.cumprod(np.vstack(strides), axis=0))[:-1]
+        return scales
+
+    def initialize(self) -> None:
+        if self.was_initialized:
+            raise RuntimeError("initialize() called twice")
+        self.num_input_channels = determine_num_input_channels(
+            self.plans_manager, self.configuration_manager, self.dataset_json)
+        self.network = self.build_network_architecture()
+        patch = tuple(self.configuration_manager.patch_size)
+        example = jnp.zeros((1, *patch, self.num_input_channels), jnp.float32)
+        self.params = self.network.init(
+            jax.random.PRNGKey(12345 + self.fold if isinstance(self.fold, int) else 0),
+            example, deep_supervision=True)
+
+        total_steps = self.num_epochs * self.num_iterations_per_epoch
+        self.optimizer = self.configure_optimizer(total_steps)
+        self.train_state = create_train_state(self.params, self.optimizer)
+
+        n_ds = len(self._get_deep_supervision_scales() or [None])
+        step_kwargs = dict(
+            has_regions=self.label_manager.has_regions,
+            has_ignore=self.label_manager.has_ignore_label,
+            ignore_label=self.label_manager.ignore_label,
+            batch_dice=self.configuration_manager.batch_dice,
+            n_ds_levels=n_ds,
+            compute_dtype=self.compute_dtype)
+        self._jit_train_step = jax.jit(
+            make_train_step(self.network, self.optimizer, **step_kwargs),
+            donate_argnums=(0,))
+        self._jit_val_step = jax.jit(make_val_step(
+            self.network, num_heads=self.label_manager.num_segmentation_heads,
+            **step_kwargs))
+
+        # device mesh: all devices on the data axis when the batch divides evenly
+        n_dev = jax.device_count()
+        bs = self.configuration_manager.batch_size
+        n_data = n_dev if bs % n_dev == 0 else 1
+        self.mesh = make_mesh(n_data=n_data)
+        self.train_state = replicate(self.mesh, self.train_state)
+        self.was_initialized = True
+
+    def build_network_architecture(self):
+        return build_network_from_arch_dict(
+            self.configuration_manager.configuration["architecture"],
+            self.num_input_channels, self.label_manager.num_segmentation_heads,
+            dtype=self.compute_dtype)
+
+    def configure_optimizer(self, total_steps: int):
+        return nnunet_sgd(poly_lr_jax(self.initial_lr, total_steps),
+                          momentum=0.99, weight_decay=self.weight_decay,
+                          nesterov=True, grad_clip=12.0)
+
+    # ------------------------------------------------------------------ data
+    def do_split(self) -> Tuple[List[str], List[str]]:
+        if self.fold == "all":
+            keys = NpyCaseDataset.get_identifiers(self.preprocessed_dataset_folder)
+            return keys, keys
+        splits_file = join(self.preprocessed_dataset_folder_base, "splits_final.json")
+        keys = NpyCaseDataset.get_identifiers(self.preprocessed_dataset_folder)
+        if not isfile(splits_file):
+            splits = generate_crossval_split(keys, seed=12345, n_splits=5)
+            save_json(splits, splits_file)
+        else:
+            splits = load_json(splits_file)
+        if self.fold < len(splits):
+            tr = splits[self.fold]["train"]
+            val = splits[self.fold]["val"]
+        else:
+            rng = np.random.RandomState(12345 + self.fold)
+            idx = rng.choice(len(keys), int(len(keys) * 0.8), replace=False)
+            tr = [keys[i] for i in idx]
+            val = [k for k in keys if k not in set(tr)]
+        return tr, val
+
+    def get_dataloaders(self):
+        patch_size = self.configuration_manager.patch_size
+        rotation, dummy_2d, initial_patch, mirror_axes = \
+            configure_rotation_dummyDA_mirroring_and_initial_patch_size(patch_size)
+        self.inference_allowed_mirroring_axes = mirror_axes
+        ds_scales = self._get_deep_supervision_scales()
+        lm = self.label_manager
+
+        tr_keys, val_keys = self.do_split()
+        ds_tr = NpyCaseDataset(self.preprocessed_dataset_folder, tr_keys)
+        ds_val = NpyCaseDataset(self.preprocessed_dataset_folder, val_keys)
+
+        train_transform = TrainingAugmenter(
+            patch_size, rotation, mirror_axes,
+            use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
+            dummy_2d=dummy_2d,
+            regions=lm.foreground_regions if lm.has_regions else None,
+            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+        val_transform = ValidationAugmenter(
+            patch_size,
+            regions=lm.foreground_regions if lm.has_regions else None,
+            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+
+        bs = self.configuration_manager.batch_size
+        sampler_tr = PatchSampler(ds_tr, bs, initial_patch, patch_size,
+                                  self.oversample_foreground_percent,
+                                  transform=train_transform,
+                                  probabilistic_oversampling=self.probabilistic_oversampling)
+        sampler_val = PatchSampler(ds_val, bs, patch_size, patch_size,
+                                   self.oversample_foreground_percent,
+                                   transform=val_transform)
+        from ..configuration import get_allowed_n_proc_DA
+        n_proc = get_allowed_n_proc_DA()
+        self.dataloader_train = AsyncBatchIterator(sampler_tr, num_workers=n_proc)
+        self.dataloader_val = AsyncBatchIterator(sampler_val,
+                                                 num_workers=max(1, n_proc // 2))
+        return self.dataloader_train, self.dataloader_val
+
+    def _batch_to_device(self, batch: dict):
+        data = np.moveaxis(batch["data"], 1, -1)  # channels-last
+        targets = []
+        for t in batch["target"]:
+            if self.label_manager.has_regions:
+                targets.append(jnp.asarray(np.moveaxis(t, 1, -1)))
+            else:
+                targets.append(jnp.asarray(t[:, 0].astype(np.int32)))
+        data = jnp.asarray(data)
+        if self.mesh is not None and self.mesh.shape["data"] > 1:
+            data = jax.device_put(data, data_sharding(self.mesh, data.ndim))
+            targets = [jax.device_put(t, data_sharding(self.mesh, t.ndim))
+                       for t in targets]
+        return data, tuple(targets)
+
+    # ------------------------------------------------------------------ loop
+    def run_training(self) -> None:
+        self.on_train_start()
+        try:
+            for epoch in range(self.current_epoch, self.num_epochs):
+                self.logger.log("epoch_start_timestamps", time.time(), epoch)
+                train_losses = []
+                for _ in range(self.num_iterations_per_epoch):
+                    batch = next(self.dataloader_train)
+                    data, targets = self._batch_to_device(batch)
+                    self.train_state, loss = self._jit_train_step(
+                        self.train_state, data, targets)
+                    train_losses.append(loss)
+                self.logger.log("train_losses",
+                                float(np.mean([float(l) for l in train_losses])), epoch)
+                self.logger.log("lrs", float(poly_lr_jax(
+                    self.initial_lr,
+                    self.num_epochs * self.num_iterations_per_epoch)(
+                        epoch * self.num_iterations_per_epoch)), epoch)
+
+                val_losses, tps, fps, fns = [], [], [], []
+                for _ in range(self.num_val_iterations_per_epoch):
+                    batch = next(self.dataloader_val)
+                    data, targets = self._batch_to_device(batch)
+                    loss, tp, fp, fn = self._jit_val_step(
+                        self.train_state.params, data, targets)
+                    val_losses.append(float(loss))
+                    tps.append(np.asarray(tp))
+                    fps.append(np.asarray(fp))
+                    fns.append(np.asarray(fn))
+                self.on_validation_epoch_end(val_losses, tps, fps, fns, epoch)
+                self.on_epoch_end(epoch)
+        finally:
+            self.on_train_end()
+
+    def on_train_start(self) -> None:
+        if not self.was_initialized:
+            self.initialize()
+        maybe_mkdir_p(self.output_folder)
+        # self-describing results folder (ref nnUNetTrainer.py:921-927)
+        save_json(self.plans_manager.plans, join(self.output_folder_base, "plans.json"),
+                  sort_keys=False)
+        save_json(self.dataset_json, join(self.output_folder_base, "dataset.json"),
+                  sort_keys=False)
+        self.get_dataloaders()
+        self.print_to_log_file(
+            f"Starting training: {self.plans_manager.dataset_name} "
+            f"{self.configuration_name} fold {self.fold}, "
+            f"{self.num_epochs} epochs x {self.num_iterations_per_epoch} iters, "
+            f"devices: {jax.device_count()} (mesh data={self.mesh.shape['data']})")
+
+    def on_validation_epoch_end(self, val_losses, tps, fps, fns, epoch: int) -> None:
+        tp = np.sum(tps, 0)
+        fp = np.sum(fps, 0)
+        fn = np.sum(fns, 0)
+        dice_per_class = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-8)
+        mean_fg_dice = float(np.nanmean(dice_per_class))
+        self.logger.log("val_losses", float(np.mean(val_losses)), epoch)
+        self.logger.log("dice_per_class_or_region", dice_per_class.tolist(), epoch)
+        self.logger.log("mean_fg_dice", mean_fg_dice, epoch)
+
+    def on_epoch_end(self, epoch: int) -> None:
+        self.logger.log("epoch_end_timestamps", time.time(), epoch)
+        self.current_epoch = epoch + 1
+
+        ema = self.logger.logging["ema_fg_dice"][epoch]
+        if self._best_ema is None or ema > self._best_ema:
+            self._best_ema = ema
+            self.save_checkpoint(join(self.output_folder, "checkpoint_best.fnnx"))
+            self.print_to_log_file(
+                f"New best EMA pseudo Dice: {np.round(ema, 4)}")
+        if (epoch + 1) % self.save_every == 0 and epoch + 1 != self.num_epochs:
+            self.save_checkpoint(join(self.output_folder, "checkpoint_latest.fnnx"))
+
+        self.print_to_log_file(
+            f"Epoch {epoch}: train {self.logger.logging['train_losses'][epoch]:.4f} "
+            f"val {self.logger.logging['val_losses'][epoch]:.4f} "
+            f"pseudo-dice {np.round(self.logger.logging['mean_fg_dice'][epoch], 4)} "
+            f"(EMA {np.round(ema, 4)})")
+        try:
+            self.logger.plot_progress_png(self.output_folder)
+        except Exception:
+            pass
+
+    def on_train_end(self) -> None:
+        self.save_checkpoint(join(self.output_folder, "checkpoint_final.fnnx"))
+        latest = join(self.output_folder, "checkpoint_latest.fnnx")
+        if isfile(latest):
+            os.remove(latest)
+        if self.dataloader_train is not None:
+            self.dataloader_train.shutdown()
+        if self.dataloader_val is not None:
+            self.dataloader_val.shutdown()
+        self.print_to_log_file("Training done.")
+
+    # ------------------------------------------------------------------ ckpt
+    def _init_args(self) -> dict:
+        return {"configuration": self.configuration_name, "fold": self.fold,
+                "plans_name": self.plans_manager.plans_name,
+                "dataset_name": self.plans_manager.dataset_name}
+
+    def save_checkpoint(self, filename: str) -> None:
+        save_checkpoint(
+            filename,
+            network_weights=self.train_state.params,
+            optimizer_state=None,  # optax state trees are rebuildable; epoch resume
+            current_epoch=self.current_epoch,
+            logging=self.logger.get_checkpoint(),
+            best_ema=self._best_ema,
+            init_args=self._init_args(),
+            trainer_name=self.__class__.__name__,
+            inference_allowed_mirroring_axes=self.inference_allowed_mirroring_axes)
+
+    def load_checkpoint(self, filename_or_checkpoint: Union[str, dict]) -> None:
+        if not self.was_initialized:
+            self.initialize()
+        ckpt = filename_or_checkpoint
+        if isinstance(ckpt, str):
+            ckpt = load_ckpt_file(ckpt)
+        params = restore_params(jax.device_get(self.train_state.params),
+                                ckpt["network_weights"])
+        params = replicate(self.mesh, params)
+        self.train_state = TrainState(step=self.train_state.step, params=params,
+                                      opt_state=self.train_state.opt_state)
+        self.current_epoch = ckpt.get("current_epoch", 0)
+        self._best_ema = ckpt.get("_best_ema")
+        if ckpt.get("logging") is not None:
+            self.logger.load_checkpoint(ckpt["logging"])
+        if ckpt.get("inference_allowed_mirroring_axes") is not None:
+            self.inference_allowed_mirroring_axes = \
+                ckpt["inference_allowed_mirroring_axes"]
+
+    # ------------------------------------------------------------------ final val
+    def perform_actual_validation(self, save_probabilities: bool = False) -> dict:
+        """Sliding-window prediction of the val split + metrics summary.json
+        (ref nnUNetTrainer.py:1212-1360)."""
+        from ..inference.engine import SlidingWindowEngine
+        from ..inference.export import export_prediction_from_logits
+        from ..evaluation.metrics import compute_metrics_on_folder
+
+        validation_output_folder = join(self.output_folder, "validation")
+        maybe_mkdir_p(validation_output_folder)
+        _, val_keys = self.do_split()
+        ds_val = NpyCaseDataset(self.preprocessed_dataset_folder, val_keys)
+
+        engine = SlidingWindowEngine(
+            self.network, self.configuration_manager.patch_size,
+            self.label_manager.num_segmentation_heads,
+            tile_step_size=0.5, use_gaussian=True,
+            mirror_axes=self.inference_allowed_mirroring_axes or (),
+            compute_dtype=self.compute_dtype)
+        params = jax.device_get(self.train_state.params)
+
+        for ident in val_keys:
+            data, seg, props = ds_val.load_case(ident, mmap=False)
+            logits = engine.predict_logits(params, np.asarray(data))
+            export_prediction_from_logits(
+                logits, props, self.configuration_manager, self.plans_manager,
+                self.dataset_json, join(validation_output_folder, ident),
+                save_probabilities)
+
+        from ..paths import get_raw_folder
+        gt_folder = join(get_raw_folder(), self.plans_manager.dataset_name, "labelsTr")
+        rw = self.plans_manager.image_reader_writer_class()()
+        lm = self.label_manager
+        metrics = compute_metrics_on_folder(
+            gt_folder, validation_output_folder,
+            join(validation_output_folder, "summary.json"), rw,
+            self.dataset_json["file_ending"],
+            lm.foreground_regions if lm.has_regions else lm.foreground_labels,
+            lm.ignore_label, chill=True)
+        self.print_to_log_file(
+            f"Validation complete. Mean fg Dice: "
+            f"{metrics['foreground_mean']['Dice']:.4f}")
+        return metrics
