@@ -210,12 +210,8 @@ class NNUNetTrainer:
         ds_tr = NpyCaseDataset(self.preprocessed_dataset_folder, tr_keys)
         ds_val = NpyCaseDataset(self.preprocessed_dataset_folder, val_keys)
 
-        train_transform = TrainingAugmenter(
-            patch_size, rotation, mirror_axes,
-            use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
-            dummy_2d=dummy_2d,
-            regions=lm.foreground_regions if lm.has_regions else None,
-            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+        train_transform = self._make_training_transform(
+            patch_size, rotation, mirror_axes, dummy_2d, lm, ds_scales)
         val_transform = ValidationAugmenter(
             patch_size,
             regions=lm.foreground_regions if lm.has_regions else None,
@@ -235,6 +231,16 @@ class NNUNetTrainer:
         self.dataloader_val = AsyncBatchIterator(sampler_val,
                                                  num_workers=max(1, n_proc // 2))
         return self.dataloader_train, self.dataloader_val
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        """Hook so trainer variants (DA5, NoMirroring, NoDA, ...) swap pipelines."""
+        return TrainingAugmenter(
+            patch_size, rotation, mirror_axes,
+            use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
+            dummy_2d=dummy_2d,
+            regions=lm.foreground_regions if lm.has_regions else None,
+            ignore_label=lm.ignore_label, ds_scales=ds_scales)
 
     def _batch_to_device(self, batch: dict):
         data = np.moveaxis(batch["data"], 1, -1)  # channels-last

@@ -125,3 +125,38 @@ def test_predict_segmentation(tiny_net_and_params):
     seg = eng.predict_segmentation(params, vol)
     assert seg.shape == (9, 9, 9)
     assert set(np.unique(seg)) <= {0, 1}
+
+
+def test_sweep_matches_logits_argmax(tiny_net_and_params):
+    """The rolling sweep uses a uniform x stride; compare against the logits
+    path on a volume where the uniform and reference grids coincide."""
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    # x = 16: starts {0, 4, 8} with stride 4 uniform == reference spread (0,4,8)
+    vol = np.random.RandomState(7).rand(1, 16, 12, 12).astype(np.float32)
+    seg_sweep = eng.predict_segmentation_sweep(params, vol)
+    seg_ref = eng.predict_logits(params, vol).argmax(0)
+    assert seg_sweep.shape == (16, 12, 12)
+    agree = (seg_sweep == seg_ref).mean()
+    assert agree > 0.99, f"sweep/logits argmax agreement too low: {agree}"
+
+
+def test_sweep_single_chunk(tiny_net_and_params):
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(8).rand(1, 6, 6, 6).astype(np.float32)
+    seg = eng.predict_segmentation_sweep(params, vol)
+    ref = eng.predict_logits(params, vol).argmax(0)
+    np.testing.assert_array_equal(seg, ref)
+
+
+def test_sweep_fold_ensembled(tiny_net_and_params):
+    net, params, params2 = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(9).rand(1, 16, 10, 10).astype(np.float32)
+    seg = eng.predict_segmentation_sweep([params, params2], vol)
+    ref = eng.predict_logits([params, params2], vol).argmax(0)
+    assert (seg == ref).mean() > 0.99
