@@ -28,6 +28,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
     from __graft_entry__ import _bone_turbo_student
     from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
@@ -57,8 +59,9 @@ def main():
         net, patch, num_classes,
         tile_step_size=0.5, use_gaussian=True, mirror_axes=(),
         compute_dtype=jnp.bfloat16, acc_dtype=jnp.float32,
-        shape_bucket=32, tile_bucket=8,
-        max_accumulator_bytes=8 * 1024 ** 3)
+        sweep_acc_dtype=jnp.bfloat16,
+        shape_bucket=32, tile_batch=8,
+        max_accumulator_bytes=4 * 1024 ** 3)
 
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2

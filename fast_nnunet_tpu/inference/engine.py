@@ -5,12 +5,14 @@ predict_from_raw_data.py:560-631).
 
 Design (TPU-first, no translation of the CUDA producer-thread/queue machinery):
 
-- The whole tile loop lives inside ONE jitted function: a ``lax.scan`` over the
-  tile-coordinate array. Each step dynamic-slices a patch out of the on-device
-  volume, runs the network (optionally mirror-TTA and multi-fold ensembling
-  inside the same step), multiplies by the precomputed gaussian importance map,
-  and scatter-adds logits and weights into HBM accumulators. No host round
-  trips, no H2D per tile — the volume is transferred once per chunk.
+- The whole tile loop lives inside ONE jitted function: a ``lax.scan`` over
+  BATCHES of tile coordinates. Each step dynamic-slices a batch of patches out
+  of the on-device volume, runs the network once (mirror-TTA and multi-fold
+  ensembling fused into the same step), multiplies by the precomputed gaussian
+  importance map, and scatter-adds logits and weights into HBM accumulators.
+  No host round trips, no H2D per tile — the volume is transferred once per
+  chunk. Batching tiles (default 8) fills the MXU better at the small channel
+  counts of distilled students.
 - Static shapes everywhere: volumes are padded to shape buckets and tile counts
   are padded up with duplicated coordinates carrying a zero validity flag, so
   padded tiles contribute nothing to the weighted sums. This removes recompiles
@@ -21,11 +23,17 @@ Design (TPU-first, no translation of the CUDA producer-thread/queue machinery):
   weighted accumulation, so one pass is enough).
 - Mirroring TTA: flips are static axis reversals fused into the step, averaged
   over all 2^|axes| combinations (ref predict_from_raw_data.py:540-557).
-- Large accumulators (512^3 x 61 classes ~ 32 GB fp32) are handled by a host-side
-  multi-axis CHUNK GRID aligned to tile starts: every tile belongs to exactly
-  one chunk, chunks are independent static-shape accumulations whose weighted
-  sums are merged on host (SURVEY §7 hard part (b)). 16-bit accumulators get the
-  reference's x10 gaussian value scaling (predict_from_raw_data.py:587-590).
+- Large accumulators (512^3 x 61 classes ~ 32 GB fp32) are handled two ways
+  (SURVEY §7 hard part (b)):
+  * predict_logits: a host-side multi-axis CHUNK GRID aligned to tile starts —
+    every tile belongs to exactly one chunk; chunks are independent
+    static-shape accumulations whose weighted sums are merged on host
+    (grid-exact, supports probabilities/ensembling).
+  * predict_segmentation_sweep: a single-jit rolling sweep along axis 0 that
+    finalizes (divide + argmax) each chunk's owned rows ON DEVICE and ships
+    only uint8 — the serving path.
+  16-bit accumulators get the reference's x10 gaussian value scaling
+  (predict_from_raw_data.py:587-590).
 """
 import itertools
 import math
@@ -66,8 +74,9 @@ class SlidingWindowEngine:
                  mirror_axes: Tuple[int, ...] = (),
                  compute_dtype=jnp.bfloat16,
                  acc_dtype=jnp.float32,
+                 sweep_acc_dtype=None,
                  shape_bucket: int = 32,
-                 tile_bucket: int = 8,
+                 tile_batch: int = 8,
                  max_accumulator_bytes: int = 4 * 1024 ** 3):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -78,28 +87,33 @@ class SlidingWindowEngine:
         self.mirror_axes = tuple(int(a) for a in mirror_axes)
         self.compute_dtype = compute_dtype
         self.acc_dtype = jnp.dtype(acc_dtype)
+        self.sweep_acc_dtype = jnp.dtype(sweep_acc_dtype) \
+            if sweep_acc_dtype is not None else self.acc_dtype
         self.shape_bucket = shape_bucket
-        self.tile_bucket = tile_bucket
+        self.tile_batch = max(1, int(tile_batch))
         self.max_accumulator_bytes = max_accumulator_bytes
 
         if self.use_gaussian:
             g = compute_gaussian(self.patch_size).astype(np.float32)
         else:
             g = np.ones(self.patch_size, dtype=np.float32)
-        if self.acc_dtype.itemsize <= 2:
-            g = g * 10.0  # headroom for low-precision accumulation (ref behavior)
-        self._gaussian = jnp.asarray(g)
+        self._gaussian_base = g
         self._jit_cache = {}
+
+    def _gaussian_for(self, dtype) -> jnp.ndarray:
+        g = self._gaussian_base
+        if jnp.dtype(dtype).itemsize <= 2:
+            g = g * 10.0  # headroom for low-precision accumulation (ref behavior)
+        return jnp.asarray(g)
 
     # ------------------------------------------------------------------ jitted core
     def _tile_step_fn(self, n_folds: int):
         network = self.network
-        patch = self.patch_size
         combos = _flip_combos(self.mirror_axes)
         inv_n = 1.0 / len(combos)
 
         def forward_one(params, x):
-            """x: (1, *patch, C) -> fp32 logits (*patch, K), TTA-averaged."""
+            """x: (B, *patch, C) -> fp32 logits (B, *patch, K), TTA-averaged."""
             acc = None
             for combo in combos:
                 axes = tuple(a + 1 for a in combo)
@@ -107,7 +121,7 @@ class SlidingWindowEngine:
                 out = network.apply(params, xin, deep_supervision=False)
                 out = jnp.flip(out, axes) if combo else out
                 acc = out if acc is None else acc + out
-            return (acc[0] * inv_n).astype(jnp.float32)
+            return (acc * inv_n).astype(jnp.float32)
 
         def forward_ensembled(stacked_params, x):
             if n_folds == 1:
@@ -117,44 +131,69 @@ class SlidingWindowEngine:
             def body(carry, params):
                 return carry + forward_one(params, x), None
 
-            zero = jnp.zeros(patch + (self.num_classes,), jnp.float32)
-            total, _ = jax.lax.scan(body, zero, stacked_params)
+            first = forward_one(
+                jax.tree_util.tree_map(lambda a: a[0], stacked_params), x)
+            rest = jax.tree_util.tree_map(lambda a: a[1:], stacked_params)
+            total, _ = jax.lax.scan(body, first, rest)
             return total / n_folds
 
         return forward_ensembled
 
-    def _build_runner(self, vol_shape: Tuple[int, ...], n_tiles: int, n_folds: int,
-                      in_channels: int):
-        """Returns jitted fn(params_stacked, vol(*S,C), coords(T,dim), valid(T,))
-        -> (acc(*S,K), wsum(*S,1)) in acc_dtype. `valid` zeroes padded tiles."""
-        key = (vol_shape, n_tiles, n_folds, in_channels)
+    def _accumulate_batch(self, a, w, vol, coords_b, valid_b, forward,
+                          stacked_params, gaussian, acc_dtype, in_channels,
+                          x_offset=None):
+        """One batched step: gather B patches, forward once, scatter-add each.
+
+        coords_b: (B, dim) int32; valid_b: (B,) float; x_offset: optional traced
+        scalar added to axis-0 coords (rolling sweep uses chunk-local acc)."""
+        patch = self.patch_size
+        K = self.num_classes
+        B = coords_b.shape[0]
+
+        patches = []
+        for b in range(B):
+            start_vol = list(coords_b[b])
+            if x_offset is not None:
+                start_vol[0] = start_vol[0] + x_offset
+            patches.append(jax.lax.dynamic_slice(
+                vol, tuple(start_vol) + (0,), patch + (in_channels,)))
+        x = jnp.stack(patches).astype(self.compute_dtype)
+        logits = forward(stacked_params, x)  # (B, *patch, K) fp32
+
+        for b in range(B):
+            start = tuple(coords_b[b][i] for i in range(len(patch))) + (0,)
+            gw = (gaussian * valid_b[b])[..., None]
+            contrib = (logits[b] * gw).astype(acc_dtype)
+            cur = jax.lax.dynamic_slice(a, start, patch + (K,))
+            a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
+            curw = jax.lax.dynamic_slice(w, start, patch + (1,))
+            w = jax.lax.dynamic_update_slice(w, curw + gw.astype(acc_dtype), start)
+        return a, w
+
+    def _build_runner(self, vol_shape: Tuple[int, ...], n_batches: int,
+                      n_folds: int, in_channels: int):
+        """Returns jitted fn(params_stacked, vol(*S,C), coords(T/B,B,dim),
+        valid(T/B,B)) -> (acc(*S,K), wsum(*S,1)) in acc_dtype."""
+        key = (vol_shape, n_batches, n_folds, in_channels)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        patch = self.patch_size
         K = self.num_classes
         forward = self._tile_step_fn(n_folds)
-        gaussian = self._gaussian
         acc_dtype = self.acc_dtype
-        compute_dtype = self.compute_dtype
+        gaussian = self._gaussian_for(acc_dtype)
 
         @jax.jit
         def run(stacked_params, vol, coords, valid):
             acc = jnp.zeros(vol_shape + (K,), acc_dtype)
             wsum = jnp.zeros(vol_shape + (1,), acc_dtype)
 
-            def body(carry, coord_valid):
-                coord, v = coord_valid
+            def body(carry, cv):
+                coords_b, valid_b = cv
                 a, w = carry
-                start = tuple(coord[i] for i in range(len(patch))) + (0,)
-                x = jax.lax.dynamic_slice(vol, start, patch + (in_channels,))
-                logits = forward(stacked_params, x[None].astype(compute_dtype))
-                gw = (gaussian * v)[..., None]
-                contrib = (logits * gw).astype(acc_dtype)
-                cur = jax.lax.dynamic_slice(a, start, patch + (K,))
-                a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
-                curw = jax.lax.dynamic_slice(w, start, patch + (1,))
-                w = jax.lax.dynamic_update_slice(w, curw + gw.astype(acc_dtype), start)
+                a, w = self._accumulate_batch(a, w, vol, coords_b, valid_b,
+                                              forward, stacked_params, gaussian,
+                                              acc_dtype, in_channels)
                 return (a, w), None
 
             (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), (coords, valid))
@@ -164,20 +203,27 @@ class SlidingWindowEngine:
         return run
 
     # ------------------------------------------------------------------ host driver
-    def _prepare_sub(self, volume: np.ndarray, steps: List[List[int]]):
-        """Pad a (sub)volume to bucketed shape, build the (padded) tile-coord
-        array for the given per-axis starts, and the slice undoing the padding."""
-        spatial = volume.shape[1:]
-        padded = tuple(_round_up(max(s, p), self.shape_bucket)
-                       for s, p in zip(spatial, self.patch_size))
-        coords = tile_coords_from_steps(steps)
+    def _batched_coords(self, coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Pad to a multiple of tile_batch (zero-valid padding) and reshape to
+        (n_batches, B, dim) / (n_batches, B)."""
+        B = self.tile_batch
         n_real = len(coords)
-        n_tiles = _round_up(n_real, self.tile_bucket)
+        n_tiles = _round_up(n_real, B)
         if n_tiles > n_real:
             coords = np.concatenate(
                 [coords, np.repeat(coords[-1:], n_tiles - n_real, axis=0)])
         valid = np.zeros(n_tiles, dtype=np.float32)
         valid[:n_real] = 1.0
+        return (coords.reshape(n_tiles // B, B, -1).astype(np.int32),
+                valid.reshape(n_tiles // B, B))
+
+    def _prepare_sub(self, volume: np.ndarray, steps: List[List[int]]):
+        """Pad a (sub)volume to bucketed shape, build the batched tile-coord
+        arrays, and the slice undoing the padding."""
+        spatial = volume.shape[1:]
+        padded = tuple(_round_up(max(s, p), self.shape_bucket)
+                       for s, p in zip(spatial, self.patch_size))
+        coords, valid = self._batched_coords(tile_coords_from_steps(steps))
         vol = np.zeros(padded + (volume.shape[0],), dtype=np.float32)
         sl = tuple(slice(0, s) for s in spatial)
         vol[sl] = np.moveaxis(volume, 0, -1)
@@ -238,7 +284,6 @@ class SlidingWindowEngine:
             return prod * (self.num_classes + 1) * self.acc_dtype.itemsize * 2
 
         while total_bytes() > self.max_accumulator_bytes:
-            # shrink the axis with the largest extent that can still be split
             candidates = [a for a in range(self.dim) if group_len[a] > 1]
             if not candidates:
                 break
@@ -270,12 +315,11 @@ class SlidingWindowEngine:
                             jnp.asarray(valid))
             acc_np = np.asarray(acc[sl], dtype=np.float32)
             w_np = np.asarray(wsum[sl], dtype=np.float32)[..., 0]
-            # the valid (in-volume) part of this chunk
-            valid = tuple(slice(s0, min(s0 + e, spatial[a]))
-                          for a, (s0, e) in enumerate(zip(starts, exts)))
-            local_valid = tuple(slice(0, v.stop - v.start) for v in valid)
-            out[(slice(None),) + valid] += np.moveaxis(acc_np[local_valid], -1, 0)
-            wtot[valid] += w_np[local_valid]
+            valid_sl = tuple(slice(s0, min(s0 + e, spatial[a]))
+                             for a, (s0, e) in enumerate(zip(starts, exts)))
+            local_valid = tuple(slice(0, v.stop - v.start) for v in valid_sl)
+            out[(slice(None),) + valid_sl] += np.moveaxis(acc_np[local_valid], -1, 0)
+            wtot[valid_sl] += w_np[local_valid]
 
         out /= wtot[None]
         if not np.isfinite(out).all():
@@ -284,15 +328,14 @@ class SlidingWindowEngine:
 
     # ------------------------------------------------------------------ turbo sweep
     def _build_sweep_runner(self, vol_shape: Tuple[int, ...], n_chunks: int,
-                            stride: int, n_tiles_yz: int, n_folds: int,
+                            stride: int, n_batches: int, n_folds: int,
                             in_channels: int, tail_rows: int):
         """Single-jit whole-volume sweep for argmax serving (the bone_turbo path):
         scan over x-chunks with a rolling accumulator of x-extent = patch[0].
-        Each chunk accumulates its (y, z) tile grid, finalizes (divide + argmax)
-        its owned `stride` rows on device, writes them into the uint8 output, and
-        shifts the accumulator. D2H is the segmentation only — never the
-        (K+1)-channel accumulator. Requires a UNIFORM x stride (the turbo grid)."""
-        key = ("sweep", vol_shape, n_chunks, stride, n_tiles_yz, n_folds,
+        Each chunk accumulates its (y, z) tile-grid batches, finalizes (divide +
+        argmax) its owned `stride` rows on device, writes them into the uint8
+        output, and shifts the accumulator. D2H is the segmentation only."""
+        key = ("sweep", vol_shape, n_chunks, stride, n_batches, n_folds,
                in_channels, tail_rows)
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -301,9 +344,8 @@ class SlidingWindowEngine:
         p0 = patch[0]
         K = self.num_classes
         forward = self._tile_step_fn(n_folds)
-        gaussian = self._gaussian
-        acc_dtype = self.acc_dtype
-        compute_dtype = self.compute_dtype
+        acc_dtype = self.sweep_acc_dtype
+        gaussian = self._gaussian_for(acc_dtype)
         plane = vol_shape[1:]  # (Yp, Zp)
 
         def finalize_rows(acc, wsum, n_rows_static):
@@ -323,29 +365,18 @@ class SlidingWindowEngine:
                 x0 = k * stride
 
                 def tile_body(c2, cv):
-                    (yz, v) = cv
+                    coords_b, valid_b = cv
                     a, w_ = c2
-                    start_abs = (x0 + 0, yz[0], yz[1], 0)
-                    x = jax.lax.dynamic_slice(vol, start_abs,
-                                              patch + (in_channels,))
-                    logits = forward(stacked_params, x[None].astype(compute_dtype))
-                    gw = (gaussian * v)[..., None]
-                    local = (0, yz[0], yz[1], 0)
-                    cur = jax.lax.dynamic_slice(a, local, patch + (K,))
-                    a = jax.lax.dynamic_update_slice(
-                        a, cur + (logits * gw).astype(acc_dtype), local)
-                    curw = jax.lax.dynamic_slice(w_, local, patch + (1,))
-                    w_ = jax.lax.dynamic_update_slice(
-                        w_, curw + gw.astype(acc_dtype), local)
+                    a, w_ = self._accumulate_batch(
+                        a, w_, vol, coords_b, valid_b, forward, stacked_params,
+                        gaussian, acc_dtype, in_channels, x_offset=x0)
                     return (a, w_), None
 
                 (acc, w), _ = jax.lax.scan(tile_body, (acc, w),
                                            (coords_yz, valid_yz))
                 if stride > 0:  # static: single-chunk sweeps finalize in the tail
-                    # finalize this chunk's owned rows [x0, x0+stride)
                     rows = finalize_rows(acc, w, stride)
                     seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
-                    # roll the accumulator left by `stride`, zero-fill the new tail
                     acc = jnp.concatenate(
                         [acc[stride:], jnp.zeros((stride, *plane, K), acc_dtype)], 0)
                     w = jnp.concatenate(
@@ -382,31 +413,30 @@ class SlidingWindowEngine:
         n_starts = int(np.ceil((x_tight - p0) / stride)) + 1
         x_padded = (n_starts - 1) * stride + p0
         tail_rows = p0 - stride if n_starts > 1 else p0
-        n_chunks = n_starts  # one chunk per x start
+        n_chunks = n_starts
         if n_starts == 1:
             stride, tail_rows = 0, p0  # finalize everything in the tail
+
         # y/z grid: reference steps (any spacing is fine in-plane)
         tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
         steps_rest = compute_steps_for_sliding_window(
             tight_rest, self.patch_size[1:], self.tile_step_size)
         coords_yz = tile_coords_from_steps(steps_rest)
-        n_real = len(coords_yz)
-        n_tiles = _round_up(n_real, self.tile_bucket)
-        if n_tiles > n_real:
-            coords_yz = np.concatenate(
-                [coords_yz, np.repeat(coords_yz[-1:], n_tiles - n_real, axis=0)])
-        valid = np.zeros(n_tiles, np.float32)
-        valid[:n_real] = 1.0
+        # prepend a zero x column so batched coords are (B, dim)
+        coords_full = np.concatenate(
+            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
+        coords_b, valid_b = self._batched_coords(coords_full)
 
         plane_padded = tuple(_round_up(t, self.shape_bucket) for t in tight_rest)
         vol_shape = (x_padded, *plane_padded)
         vol = np.zeros(vol_shape + (volume.shape[0],), np.float32)
         vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
 
-        sweep = self._build_sweep_runner(vol_shape, n_chunks, stride, n_tiles,
-                                         n_folds, volume.shape[0], tail_rows)
-        seg = sweep(stacked, jnp.asarray(vol), jnp.asarray(coords_yz),
-                    jnp.asarray(valid))
+        sweep = self._build_sweep_runner(vol_shape, n_chunks, stride,
+                                         len(coords_b), n_folds,
+                                         volume.shape[0], tail_rows)
+        seg = sweep(stacked, jnp.asarray(vol), jnp.asarray(coords_b),
+                    jnp.asarray(valid_b))
         return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
 
     # ------------------------------------------------------------------ conveniences

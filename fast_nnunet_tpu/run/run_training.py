@@ -1,0 +1,115 @@
+"""Training entry point (nnUNetv2_train parity, ref distillation/nnunetv2/run/
+run_training.py:32-268). No mp.spawn/NCCL: multi-device data parallelism is a
+mesh inside one process (single-controller JAX); multi-host would use
+jax.distributed.initialize, not process groups."""
+import argparse
+import importlib
+from typing import Optional, Union
+
+from ..training.trainer import NNUNetTrainer
+from ..utils.io import isfile, join, load_json
+from ..utils.misc import maybe_convert_to_dataset_name
+
+TRAINER_REGISTRY = {}
+
+
+def register_trainer(cls):
+    TRAINER_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def find_trainer_class(name: str):
+    if name in TRAINER_REGISTRY:
+        return TRAINER_REGISTRY[name]
+    # built-ins
+    from ..training import trainer as _t
+    from ..training import distill as _d
+    from ..training import trainer_variants as _v
+    for mod in (_t, _d, _v):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise RuntimeError(f"Unknown trainer class {name}")
+
+
+def get_trainer_from_args(dataset_name_or_id, configuration: str, fold,
+                          trainer_name: str = "NNUNetTrainer",
+                          plans_identifier: str = "nnUNetPlans",
+                          **trainer_kwargs) -> NNUNetTrainer:
+    from ..paths import get_preprocessed_folder
+    dataset_name = maybe_convert_to_dataset_name(dataset_name_or_id)
+    preprocessed = join(get_preprocessed_folder(), dataset_name)
+    plans_file = join(preprocessed, plans_identifier + ".json")
+    assert isfile(plans_file), (
+        f"Plans missing: {plans_file}. Run plan_and_preprocess first.")
+    plans = load_json(plans_file)
+    dataset_json = load_json(join(preprocessed, "dataset.json"))
+    trainer_class = find_trainer_class(trainer_name)
+    return trainer_class(plans=plans, configuration=configuration, fold=fold,
+                         dataset_json=dataset_json, **trainer_kwargs)
+
+
+def maybe_load_checkpoint(trainer: NNUNetTrainer, continue_training: bool,
+                          validation_only: bool) -> None:
+    """checkpoint_final -> latest -> best, same precedence as the reference
+    (run_training.py:70-98)."""
+    if not (continue_training or validation_only):
+        return
+    expected = None
+    for name in ("checkpoint_final.fnnx", "checkpoint_latest.fnnx",
+                 "checkpoint_best.fnnx"):
+        if isfile(join(trainer.output_folder, name)):
+            expected = join(trainer.output_folder, name)
+            break
+    if expected is None:
+        if validation_only:
+            raise RuntimeError("Cannot run validation: no checkpoint found in "
+                               f"{trainer.output_folder}")
+        print("No checkpoint found, starting fresh.")
+        return
+    trainer.load_checkpoint(expected)
+
+
+def run_training(dataset_name_or_id, configuration: str, fold,
+                 trainer_name: str = "NNUNetTrainer",
+                 plans_identifier: str = "nnUNetPlans",
+                 continue_training: bool = False,
+                 only_run_validation: bool = False,
+                 disable_checkpointing: bool = False,
+                 export_validation_probabilities: bool = False,
+                 **trainer_kwargs):
+    if fold != "all":
+        fold = int(fold)
+    trainer = get_trainer_from_args(dataset_name_or_id, configuration, fold,
+                                    trainer_name, plans_identifier,
+                                    **trainer_kwargs)
+    maybe_load_checkpoint(trainer, continue_training, only_run_validation)
+    if not only_run_validation:
+        trainer.run_training()
+    trainer.perform_actual_validation(export_validation_probabilities)
+    return trainer
+
+
+def run_training_entry():
+    parser = argparse.ArgumentParser(description="fast-nnunet-tpu training")
+    parser.add_argument("dataset_name_or_id")
+    parser.add_argument("configuration")
+    parser.add_argument("fold", help="0..4 or 'all'")
+    parser.add_argument("-tr", default="NNUNetTrainer")
+    parser.add_argument("-p", default="nnUNetPlans")
+    parser.add_argument("--c", action="store_true", dest="continue_training")
+    parser.add_argument("--val", action="store_true", dest="validation_only")
+    parser.add_argument("--npz", action="store_true",
+                        help="export validation probabilities")
+    parser.add_argument("-num_gpus", type=int, default=1,
+                        help="accepted for CLI parity; the mesh uses all visible "
+                             "devices automatically")
+    args = parser.parse_args()
+    run_training(args.dataset_name_or_id, args.configuration, args.fold,
+                 trainer_name=args.tr, plans_identifier=args.p,
+                 continue_training=args.continue_training,
+                 only_run_validation=args.validation_only,
+                 export_validation_probabilities=args.npz)
+
+
+if __name__ == "__main__":
+    run_training_entry()

@@ -58,9 +58,12 @@ class NNUNetTrainer:
         self.weight_decay = 3e-5
         self.oversample_foreground_percent = 0.33
         self.probabilistic_oversampling = False
-        self.num_iterations_per_epoch = 250
-        self.num_val_iterations_per_epoch = 50
-        self.num_epochs = 1000
+        # env overrides ease smoke tests / CI (defaults match the reference)
+        self.num_iterations_per_epoch = int(os.environ.get(
+            "FNNT_ITERS_PER_EPOCH", 250))
+        self.num_val_iterations_per_epoch = int(os.environ.get(
+            "FNNT_VAL_ITERS_PER_EPOCH", 50))
+        self.num_epochs = int(os.environ.get("FNNT_NUM_EPOCHS", 1000))
         self.current_epoch = 0
         self.enable_deep_supervision = True
         self.save_every = 50

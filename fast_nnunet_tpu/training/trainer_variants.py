@@ -1,0 +1,276 @@
+"""Trainer variants (capability parity with distillation/nnunetv2/training/
+nnUNetTrainer/variants/**, SURVEY §2.3 T2): epoch presets, augmentation
+variants, loss variants, optimizer variants, deep-supervision toggle, and the
+benchmark trainers used as speed tests."""
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .augment import TrainingAugmenter, ValidationAugmenter
+from .augment_da5 import DA5TrainingAugmenter
+from .losses import (deep_supervision_weights, deep_supervised_loss,
+                     robust_cross_entropy, soft_dice_loss, topk_cross_entropy)
+from .optimizers import nnunet_adam, nnunet_adamw, nnunet_sgd
+from .schedules import linear_warmup_poly, poly_lr_jax
+from .trainer import NNUNetTrainer
+
+
+# --------------------------------------------------------------- epochs presets
+def _epochs_variant(n: int):
+    class _T(NNUNetTrainer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.num_epochs = n
+    _T.__name__ = f"NNUNetTrainer_{n}epochs"
+    _T.__qualname__ = _T.__name__
+    return _T
+
+
+NNUNetTrainer_1epoch = _epochs_variant(1)
+NNUNetTrainer_5epochs = _epochs_variant(5)
+NNUNetTrainer_10epochs = _epochs_variant(10)
+NNUNetTrainer_50epochs = _epochs_variant(50)
+NNUNetTrainer_100epochs = _epochs_variant(100)
+NNUNetTrainer_250epochs = _epochs_variant(250)
+NNUNetTrainer_2000epochs = _epochs_variant(2000)
+NNUNetTrainer_4000epochs = _epochs_variant(4000)
+NNUNetTrainer_8000epochs = _epochs_variant(8000)
+
+
+# --------------------------------------------------------------- augmentation
+class NNUNetTrainerNoMirroring(NNUNetTrainer):
+    """No mirroring during training or TTA (ref variants/data_augmentation/
+    nnUNetTrainerNoMirroring.py:29)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        self.inference_allowed_mirroring_axes = ()
+        return super()._make_training_transform(
+            patch_size, rotation, (), dummy_2d, lm, ds_scales)
+
+
+class NNUNetTrainer_onlyMirror01(NNUNetTrainer):
+    """Mirror only the first two spatial axes (ref :60-80)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        axes = tuple(a for a in mirror_axes if a < 2)
+        self.inference_allowed_mirroring_axes = axes
+        return super()._make_training_transform(
+            patch_size, rotation, axes, dummy_2d, lm, ds_scales)
+
+
+class NNUNetTrainerNoDA(NNUNetTrainer):
+    """Validation-style transforms during training (ref variants/data_augmentation/
+    nnUNetTrainerNoDA.py)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        self.inference_allowed_mirroring_axes = ()
+        return ValidationAugmenter(
+            patch_size, regions=lm.foreground_regions if lm.has_regions else None,
+            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+
+
+class NNUNetTrainerDA5(NNUNetTrainer):
+    """Strong augmentation (ref variants/data_augmentation/nnUNetTrainerDA5.py)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        return DA5TrainingAugmenter(
+            patch_size, rotation, mirror_axes,
+            use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
+            dummy_2d=dummy_2d,
+            regions=lm.foreground_regions if lm.has_regions else None,
+            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+
+
+# --------------------------------------------------------------- deep supervision
+class NNUNetTrainerNoDeepSupervision(NNUNetTrainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.enable_deep_supervision = False
+
+
+# --------------------------------------------------------------- loss variants
+class _LossOverrideTrainer(NNUNetTrainer):
+    loss_kind = "dc_ce"
+
+    def initialize(self):
+        super().initialize()
+        from .train_step import make_train_step, make_val_step
+        kind = self.loss_kind
+        lm = self.label_manager
+        batch_dice = self.configuration_manager.batch_dice
+        ignore = lm.ignore_label if lm.has_ignore_label else None
+
+        def base_loss(logits, target):
+            if kind == "ce":
+                return robust_cross_entropy(logits, target, ignore_index=ignore)
+            if kind == "dice":
+                if ignore is not None:
+                    mask = target != ignore
+                    return soft_dice_loss(logits, jnp.where(mask, target, 0),
+                                          loss_mask=mask, batch_dice=batch_dice,
+                                          do_bg=False)
+                return soft_dice_loss(logits, target, batch_dice=batch_dice,
+                                      do_bg=False)
+            if kind == "topk10":
+                return topk_cross_entropy(logits, target, 10.0, ignore_index=ignore)
+            if kind == "dc_topk10":
+                d = soft_dice_loss(logits, target, batch_dice=batch_dice, do_bg=False)
+                return d + topk_cross_entropy(logits, target, 10.0,
+                                              ignore_index=ignore)
+            raise ValueError(kind)
+
+        n_ds = len(self._get_deep_supervision_scales() or [None])
+        ds_w = tuple(deep_supervision_weights(n_ds).tolist()) if n_ds > 1 else (1.0,)
+        network = self.network
+        optimizer = self.optimizer
+        compute_dtype = self.compute_dtype
+
+        import optax
+        from .train_step import TrainState
+
+        def loss_of(params, data, targets):
+            outputs = network.apply(params, data.astype(compute_dtype),
+                                    deep_supervision=n_ds > 1)
+            if n_ds == 1:
+                outputs = (outputs,)
+            return deep_supervised_loss(base_loss, outputs, targets, ds_w)
+
+        def step(state, data, targets):
+            loss, grads = jax.value_and_grad(loss_of)(state.params, data, targets)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=new_opt), loss
+
+        self._jit_train_step = jax.jit(step, donate_argnums=(0,))
+
+
+class NNUNetTrainerCELoss(_LossOverrideTrainer):
+    loss_kind = "ce"
+
+
+class NNUNetTrainerDiceLoss(_LossOverrideTrainer):
+    loss_kind = "dice"
+
+
+class NNUNetTrainerTopk10Loss(_LossOverrideTrainer):
+    loss_kind = "topk10"
+
+
+class NNUNetTrainerDiceTopK10Loss(_LossOverrideTrainer):
+    loss_kind = "dc_topk10"
+
+
+# --------------------------------------------------------------- optimizers
+class NNUNetTrainerAdam(NNUNetTrainer):
+    def configure_optimizer(self, total_steps: int):
+        return nnunet_adam(poly_lr_jax(3e-4, total_steps))
+
+
+class NNUNetTrainerAdamW(NNUNetTrainer):
+    def configure_optimizer(self, total_steps: int):
+        return nnunet_adamw(poly_lr_jax(3e-4, total_steps))
+
+
+class NNUNetTrainer_warmup(NNUNetTrainer):
+    """Linear warmup then poly decay (ref variants/lr_schedule +
+    nnUNetTrainer_warmup.py)."""
+    warmup_epochs = 50
+
+    def configure_optimizer(self, total_steps: int):
+        warmup_steps = self.warmup_epochs * self.num_iterations_per_epoch
+        return nnunet_sgd(linear_warmup_poly(self.initial_lr, total_steps,
+                                             warmup_steps),
+                          momentum=0.99, weight_decay=self.weight_decay,
+                          nesterov=True, grad_clip=12.0)
+
+
+# --------------------------------------------------------------- benchmarking
+class NNUNetTrainerBenchmark_5epochs(NNUNetTrainer):
+    """Speed test: 5 epochs, fold 0 only, no checkpoints; records the fastest
+    epoch time keyed by environment into benchmark_result.json (ref variants/
+    benchmarking/nnUNetTrainerBenchmark_5epochs.py:10-70)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.num_epochs = 5
+        self.crashed_with_oom = False
+
+    def save_checkpoint(self, filename: str) -> None:
+        pass  # benchmark runs don't checkpoint
+
+    def run_training(self):
+        try:
+            super().run_training()
+        except (RuntimeError, MemoryError) as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or isinstance(e, MemoryError):
+                self.crashed_with_oom = True
+                self.print_to_log_file("Not enough memory!")
+            else:
+                raise
+        finally:
+            self._write_benchmark_result()
+
+    def _write_benchmark_result(self):
+        import json
+        import platform
+        import socket
+
+        from ..utils.io import join, isfile, load_json, save_json
+        fname = join(self.output_folder, "benchmark_result.json")
+        starts = self.logger.logging["epoch_start_timestamps"]
+        ends = self.logger.logging["epoch_end_timestamps"]
+        times = [e - s for s, e in zip(starts, ends) if s and e]
+        fastest = float(np.min(times)) if times else None
+        entry = {
+            "fastest_epoch": fastest,
+            "crashed_with_oom": self.crashed_with_oom,
+            "hostname": socket.gethostname(),
+            "devices": [str(d) for d in jax.devices()],
+            "jax_version": jax.__version__,
+            "python": platform.python_version(),
+            "num_iterations_per_epoch": self.num_iterations_per_epoch,
+            "trainer": self.__class__.__name__,
+        }
+        existing = load_json(fname) if isfile(fname) else {}
+        key = f"{entry['hostname']}__{'_'.join(entry['devices'])[:60]}"
+        existing[key] = entry
+        save_json(existing, fname, sort_keys=False)
+
+
+class NNUNetTrainerBenchmark_5epochs_noDataLoading(NNUNetTrainerBenchmark_5epochs):
+    """Feeds one cached dummy batch every iteration to isolate device compute
+    from the input pipeline (ref nnUNetTrainerBenchmark_5epochs_noDataLoading.py)."""
+
+    def get_dataloaders(self):
+        super().get_dataloaders()
+        real_train = self.dataloader_train
+        real_val = self.dataloader_val
+        cached_train = next(real_train)
+        cached_val = next(real_val)
+        real_train.shutdown()
+        real_val.shutdown()
+
+        class _Const:
+            def __init__(self, batch):
+                self._b = batch
+
+            def __next__(self):
+                return self._b
+
+            def __iter__(self):
+                return self
+
+            def shutdown(self):
+                pass
+
+        self.dataloader_train = _Const(cached_train)
+        self.dataloader_val = _Const(cached_val)
+        return self.dataloader_train, self.dataloader_val
