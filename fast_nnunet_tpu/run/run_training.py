@@ -25,7 +25,8 @@ def find_trainer_class(name: str):
     from ..training import trainer as _t
     from ..training import distill as _d
     from ..training import trainer_variants as _v
-    for mod in (_t, _d, _v):
+    from ..training import primus_trainers as _p
+    for mod in (_t, _d, _v, _p):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise RuntimeError(f"Unknown trainer class {name}")
