@@ -1,0 +1,93 @@
+"""Export -> artifact -> FastnnUNetInferencer -> VTK, end to end on tiny data."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from .helpers import make_synthetic_dataset, set_nnunet_paths
+
+
+def test_vtk_mesh_functions(tmp_path):
+    from fast_nnunet_tpu.fast_inference.vtk_export import (
+        VTKModelGenerator, extract_boundary_quads, laplacian_smooth,
+        decimate_vertex_clustering, write_vtk_polydata)
+    mask = np.zeros((8, 8, 8), bool)
+    mask[2:6, 2:6, 2:6] = True  # 4x4x4 cube: 6 faces x 16 quads
+    v, q = extract_boundary_quads(mask, (1.0, 1.0, 1.0))
+    assert len(q) == 6 * 16
+    assert len(v) == 98  # surface lattice of a 4^3 cube: 6*25 - 12*5 + 8
+    v2 = laplacian_smooth(v, q, 0.5, 5)
+    assert v2.shape == v.shape
+    # smoothing shrinks a convex shape
+    assert v2.std(0).sum() < v.std(0).sum()
+    v3, q3 = decimate_vertex_clustering(v, q, 0.5, (1, 1, 1))
+    assert len(v3) < len(v)
+
+    seg = np.zeros((8, 8, 8), np.uint8)
+    seg[2:6, 2:6, 2:6] = 1
+    seg[0:2, 0:2, 0:2] = 2
+    out = str(tmp_path / "model.vtk")
+    stats = VTKModelGenerator().generate_vtk_model(seg, (1, 1, 1), out,
+                                                   decimation_factor=0.0)
+    assert 1 in stats and 2 in stats
+    content = open(out).read()
+    assert content.startswith("# vtk DataFile")
+    assert "POLYGONS" in content and "COLOR_SCALARS" in content
+
+
+def test_color_file_parsing(tmp_path):
+    from fast_nnunet_tpu.fast_inference.vtk_export import parse_color_file
+    f = str(tmp_path / "colors.txt")
+    with open(f, "w") as fh:
+        fh.write("# comment\n0 background 0 0 0 0\n1 liver 221 130 101 255\n"
+                 "2 left kidney 185 102 83 255\n")
+    table = parse_color_file(f)
+    assert table[1] == ("liver", (221, 130, 101, 255))
+    assert table[2][0] == "left_kidney"
+
+
+@pytest.mark.slow
+def test_export_and_artifact_inference(tmp_path_factory):
+    import jax.numpy as jnp
+    root = str(tmp_path_factory.mktemp("export_e2e"))
+    raw, pre, res = set_nnunet_paths(None, root)
+    make_synthetic_dataset(raw, "Dataset992_EXP", n_cases=5, shape=(18, 20, 16))
+
+    from fast_nnunet_tpu.planning.fingerprint import DatasetFingerprintExtractor
+    from fast_nnunet_tpu.planning.planner import ExperimentPlanner
+    from fast_nnunet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+    from fast_nnunet_tpu.training.trainer import NNUNetTrainer
+    from fast_nnunet_tpu.utils.io import load_json, join, isfile
+
+    DatasetFingerprintExtractor("Dataset992_EXP", num_processes=1).run()
+    plans = ExperimentPlanner("Dataset992_EXP").plan_experiment()
+    DefaultPreprocessor().run("Dataset992_EXP", "3d_fullres", num_processes=1)
+    dj = load_json(join(raw, "Dataset992_EXP", "dataset.json"))
+    tr = NNUNetTrainer(plans, "3d_fullres", 0, dj)
+    tr.num_epochs = 1
+    tr.num_iterations_per_epoch = 2
+    tr.num_val_iterations_per_epoch = 1
+    tr.compute_dtype = jnp.float32
+    tr.run_training()
+
+    # export fold 0 to a StableHLO artifact (with numerical validation)
+    from fast_nnunet_tpu.export.export_model import export_model_folder_to_artifact
+    export_dir = join(root, "export")
+    artifact = export_model_folder_to_artifact(
+        tr.output_folder_base, 0, export_dir, dtype="float32")
+    assert isfile(artifact)
+    assert isfile(join(export_dir, "model_config.json"))
+
+    # drive the fast-inference module from the artifact
+    from fast_nnunet_tpu.fast_inference.inferencer import FastnnUNetInferencer
+    inf = FastnnUNetInferencer(config_file=join(export_dir, "model_config.json"))
+    info = inf.get_model_info()
+    assert info["source"] == "artifact"
+    case = join(raw, "Dataset992_EXP", "imagesTr", "case_000_0000.nii.gz")
+    out = str(tmp_path_factory.mktemp("out") / "seg.nii.gz")
+    result = inf.predict_single_image(case, out, generate_vtk=True)
+    assert isfile(out)
+    assert "seconds" in result
+    if "vtk_model" in result:
+        assert isfile(result["vtk_model"])
