@@ -98,6 +98,14 @@ class FastnnUNetInferencer:
     def get_model_info(self) -> dict:
         return dict(self._model_info)
 
+    def predict_logits_from_preprocessed(self, data: np.ndarray) -> np.ndarray:
+        """(C, *spatial) already-preprocessed volume -> logits (K, *spatial).
+        The /predict_array serving endpoint (and the C++ engine) hit this."""
+        if self.engine is not None:
+            return self.engine.predict_logits(self._params, data)
+        assert self.predictor is not None, "no model loaded"
+        return self.predictor.predict_logits_from_preprocessed_data(data)
+
     # ------------------------------------------------------------------ predict
     def predict_single_image(self, input_file: str, output_file: str,
                              save_probabilities: bool = False,

@@ -9,11 +9,16 @@ Endpoints:
   (paths are server-local; medical volumes are too big for request bodies, same
   contract as the reference CLI's predict-single)
 - POST /predict_batch       -> {"input_folder", "output_folder", options...}
+- POST /predict_array       -> raw float32 LE volume body, X-Shape: "nx,ny,nz";
+  responds with raw float32 logits (num_class * nx * ny * nz). This is the hot
+  endpoint the C++ engine calls (engine/src/http_backend.cpp).
 """
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+
+import numpy as np
 
 from .inferencer import FastnnUNetInferencer
 
@@ -53,6 +58,9 @@ class FastnnUNetAPI:
                     self._send(404, {"error": f"unknown endpoint {self.path}"})
 
             def do_POST(self):
+                if self.path == "/predict_array":
+                    self._predict_array()
+                    return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
@@ -83,6 +91,30 @@ class FastnnUNetAPI:
                 except KeyError as e:
                     self._send(400, {"error": f"missing field {e}"})
                 except Exception as e:  # surface prediction errors as 500s
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def _predict_array(self):
+                try:
+                    shape = tuple(int(x) for x in
+                                  self.headers["X-Shape"].split(","))
+                    length = int(self.headers["Content-Length"])
+                    body = self.rfile.read(length)
+                    vol = np.frombuffer(body, np.float32).reshape(shape)
+                except (KeyError, ValueError) as e:
+                    self._send(400, {"error": f"bad array request: {e}"})
+                    return
+                try:
+                    with api._lock:
+                        logits = api.inferencer.predict_logits_from_preprocessed(
+                            vol[None])  # add channel dim
+                    payload = np.ascontiguousarray(logits, np.float32).tobytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.send_header("X-Num-Class", str(logits.shape[0]))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                except Exception as e:
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         return Handler
