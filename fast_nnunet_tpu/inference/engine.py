@@ -224,9 +224,12 @@ class SlidingWindowEngine:
         padded = tuple(_round_up(max(s, p), self.shape_bucket)
                        for s, p in zip(spatial, self.patch_size))
         coords, valid = self._batched_coords(tile_coords_from_steps(steps))
+        np_dtype = np.dtype(jnp.dtype(self.compute_dtype).name) \
+            if jnp.dtype(self.compute_dtype) != jnp.bfloat16 else jnp.bfloat16
         vol = np.zeros(padded + (volume.shape[0],), dtype=np.float32)
         sl = tuple(slice(0, s) for s in spatial)
         vol[sl] = np.moveaxis(volume, 0, -1)
+        vol = vol.astype(np_dtype)  # ship in compute dtype (halves H2D for bf16)
         return vol, coords, valid, sl, padded
 
     def _acc_bytes(self, spatial) -> int:
@@ -429,8 +432,11 @@ class SlidingWindowEngine:
 
         plane_padded = tuple(_round_up(t, self.shape_bucket) for t in tight_rest)
         vol_shape = (x_padded, *plane_padded)
+        np_dtype = np.dtype(jnp.dtype(self.compute_dtype).name) \
+            if jnp.dtype(self.compute_dtype) != jnp.bfloat16 else jnp.bfloat16
         vol = np.zeros(vol_shape + (volume.shape[0],), np.float32)
         vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
+        vol = vol.astype(np_dtype)  # ship in compute dtype
 
         sweep = self._build_sweep_runner(vol_shape, n_chunks, stride,
                                          len(coords_b), n_folds,

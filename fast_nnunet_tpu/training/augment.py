@@ -292,13 +292,41 @@ def convert_labels_to_regions(seg: np.ndarray, regions,
 
 
 # --------------------------------------------------------------- pipeline
+def cascade_augment_prev_stage(onehot: np.ndarray, rng: np.random.RandomState,
+                               p_remove_component: float = 0.4,
+                               p_morph: float = 0.2) -> np.ndarray:
+    """Corrupt the previous-stage one-hot channels so the second cascade stage
+    learns to fix first-stage mistakes (ref training/data_augmentation/
+    custom_transforms/cascade_transforms.py: remove-random-component +
+    binary-operation transforms)."""
+    from scipy import ndimage
+    for c in range(onehot.shape[0]):
+        if rng.uniform() < p_remove_component:
+            labeled, n = ndimage.label(onehot[c])
+            if n > 1:
+                drop = rng.randint(1, n + 1)
+                onehot[c][labeled == drop] = 0
+        if rng.uniform() < p_morph and onehot[c].any():
+            op = ndimage.binary_dilation if rng.uniform() < 0.5 \
+                else ndimage.binary_erosion
+            onehot[c] = op(onehot[c], iterations=rng.randint(1, 3)).astype(
+                onehot.dtype)
+    return onehot
+
+
 class TrainingAugmenter:
-    """The default nnU-Net training pipeline as one per-sample callable."""
+    """The default nnU-Net training pipeline as one per-sample callable.
+
+    Cascade: when cascade_labels is set, seg channel 1 carries the previous
+    stage's segmentation; after the geometric transforms it is one-hot encoded,
+    corruption-augmented, and appended to the data channels (ref
+    MoveSegAsOneHotToDataTransform + cascade_transforms)."""
 
     def __init__(self, patch_size, rotation_range, mirror_axes,
                  use_mask_for_norm=None, dummy_2d: bool = False,
                  regions=None, ignore_label: Optional[int] = None,
-                 ds_scales: Optional[List[Tuple[float, ...]]] = None):
+                 ds_scales: Optional[List[Tuple[float, ...]]] = None,
+                 cascade_labels: Optional[List[int]] = None):
         self.patch_size = tuple(patch_size)
         self.rotation_range = rotation_range
         self.mirror_axes = tuple(mirror_axes) if mirror_axes is not None else ()
@@ -307,6 +335,7 @@ class TrainingAugmenter:
         self.regions = regions
         self.ignore_label = ignore_label
         self.ds_scales = ds_scales
+        self.cascade_labels = cascade_labels
 
     def __call__(self, data: np.ndarray, seg: np.ndarray, rng: np.random.RandomState):
         data = np.ascontiguousarray(data, dtype=np.float32)
@@ -325,6 +354,13 @@ class TrainingAugmenter:
             data, seg = mirror_augment(data, seg, rng, self.mirror_axes)
         if self.use_mask_for_norm is not None and any(self.use_mask_for_norm):
             data = mask_image(data, seg, self.use_mask_for_norm)
+        if self.cascade_labels is not None and seg.shape[0] > 1:
+            prev = seg[1]
+            onehot = np.stack([(prev == l).astype(np.float32)
+                               for l in self.cascade_labels])
+            onehot = cascade_augment_prev_stage(onehot, rng)
+            data = np.concatenate([data, onehot], axis=0)
+            seg = seg[:1]
         seg = seg.copy()
         seg[seg == -1] = 0  # RemoveLabelTransform
         if self.regions is not None:
@@ -337,15 +373,23 @@ class TrainingAugmenter:
 class ValidationAugmenter:
     """Center crop + -1 removal + region conversion + DS downsampling only."""
 
-    def __init__(self, patch_size, regions=None, ignore_label=None, ds_scales=None):
+    def __init__(self, patch_size, regions=None, ignore_label=None, ds_scales=None,
+                 cascade_labels=None):
         self.patch_size = tuple(patch_size)
         self.regions = regions
         self.ignore_label = ignore_label
         self.ds_scales = ds_scales
+        self.cascade_labels = cascade_labels
 
     def __call__(self, data, seg, rng):
         data = _center_crop(np.asarray(data, dtype=np.float32), self.patch_size)
         seg = _center_crop(np.asarray(seg), self.patch_size)
+        if self.cascade_labels is not None and seg.shape[0] > 1:
+            prev = seg[1]
+            onehot = np.stack([(prev == l).astype(np.float32)
+                               for l in self.cascade_labels])
+            data = np.concatenate([data, onehot], axis=0)
+            seg = seg[:1]
         seg = seg.copy()
         seg[seg == -1] = 0
         if self.regions is not None:

@@ -21,7 +21,8 @@ class PatchSampler:
                  oversample_foreground_percent: float = 0.33,
                  transform: Optional[Callable] = None,
                  probabilistic_oversampling: bool = False,
-                 annotated_classes_key=None):
+                 annotated_classes_key=None,
+                 prev_stage_folder: Optional[str] = None):
         self.dataset = dataset
         self.identifiers = dataset.keys()
         self.batch_size = batch_size
@@ -32,6 +33,23 @@ class PatchSampler:
         self.probabilistic = probabilistic_oversampling
         # with ignore label, "force fg" may also sample the all-annotated group
         self.annotated_classes_key = annotated_classes_key
+        # cascade: folder with the previous stage's predicted segmentations
+        # (one {ident}.npz with key 'seg' per case, on this config's grid)
+        self.prev_stage_folder = prev_stage_folder
+
+    def _load_prev_stage(self, ident: str, shape) -> Optional[np.ndarray]:
+        if self.prev_stage_folder is None:
+            return None
+        import os
+        path = os.path.join(self.prev_stage_folder, ident + ".npz")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f"cascade requires previous-stage prediction {path} — run the "
+                "3d_lowres stage's predict_next_stage first")
+        prev = np.load(path)["seg"]
+        assert prev.shape == tuple(shape), \
+            f"prev-stage seg shape {prev.shape} != case shape {tuple(shape)}"
+        return prev
 
     def _must_force_fg(self, sample_idx: int, rng) -> bool:
         if self.probabilistic:
@@ -70,6 +88,9 @@ class PatchSampler:
             bbox = self._get_bbox(data.shape[1:], force_fg,
                                   props.get("class_locations"), rng)
             patch_data = crop_and_pad_nd(data, bbox, 0)
+            prev = self._load_prev_stage(ident, data.shape[1:])
+            if prev is not None:
+                seg = np.concatenate([np.asarray(seg), prev[None].astype(seg.dtype)])
             patch_seg = crop_and_pad_nd(seg, bbox, -1)
             if self.transform is not None:
                 patch_data, targets = self.transform(patch_data, patch_seg, rng)

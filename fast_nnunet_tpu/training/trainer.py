@@ -76,6 +76,8 @@ class NNUNetTrainer:
         self.preprocessed_dataset_folder_base = None
         self.output_folder_base = None
         self.output_folder = None
+        self.is_cascaded = self.configuration_manager.previous_stage_name is not None
+        self.folder_with_segs_from_previous_stage = None
         try:
             from ..paths import get_preprocessed_folder, get_results_folder
             self.preprocessed_dataset_folder_base = join(
@@ -85,6 +87,14 @@ class NNUNetTrainer:
                 f"{self.__class__.__name__}__{self.plans_manager.plans_name}__"
                 f"{configuration}")
             self.output_folder = join(self.output_folder_base, f"fold_{fold}")
+            if self.is_cascaded:
+                # where the previous stage deposits its predictions for us
+                # (ref nnUNetTrainer.py: predicted_next_stage convention)
+                self.folder_with_segs_from_previous_stage = join(
+                    get_results_folder(), self.plans_manager.dataset_name,
+                    f"{self.__class__.__name__}__{self.plans_manager.plans_name}"
+                    f"__{self.configuration_manager.previous_stage_name}",
+                    "predicted_next_stage", configuration)
         except RuntimeError:
             pass  # paths unset: fine for pure in-memory use
 
@@ -215,19 +225,23 @@ class NNUNetTrainer:
 
         train_transform = self._make_training_transform(
             patch_size, rotation, mirror_axes, dummy_2d, lm, ds_scales)
+        cascade_labels = lm.foreground_labels if self.is_cascaded else None
         val_transform = ValidationAugmenter(
             patch_size,
             regions=lm.foreground_regions if lm.has_regions else None,
-            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+            ignore_label=lm.ignore_label, ds_scales=ds_scales,
+            cascade_labels=cascade_labels)
 
         bs = self.configuration_manager.batch_size
-        sampler_tr = PatchSampler(ds_tr, bs, initial_patch, patch_size,
-                                  self.oversample_foreground_percent,
-                                  transform=train_transform,
-                                  probabilistic_oversampling=self.probabilistic_oversampling)
-        sampler_val = PatchSampler(ds_val, bs, patch_size, patch_size,
-                                   self.oversample_foreground_percent,
-                                   transform=val_transform)
+        sampler_tr = PatchSampler(
+            ds_tr, bs, initial_patch, patch_size,
+            self.oversample_foreground_percent, transform=train_transform,
+            probabilistic_oversampling=self.probabilistic_oversampling,
+            prev_stage_folder=self.folder_with_segs_from_previous_stage)
+        sampler_val = PatchSampler(
+            ds_val, bs, patch_size, patch_size,
+            self.oversample_foreground_percent, transform=val_transform,
+            prev_stage_folder=self.folder_with_segs_from_previous_stage)
         from ..configuration import get_allowed_n_proc_DA
         n_proc = get_allowed_n_proc_DA()
         self.dataloader_train = AsyncBatchIterator(sampler_tr, num_workers=n_proc)
@@ -243,7 +257,8 @@ class NNUNetTrainer:
             use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
             dummy_2d=dummy_2d,
             regions=lm.foreground_regions if lm.has_regions else None,
-            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+            ignore_label=lm.ignore_label, ds_scales=ds_scales,
+            cascade_labels=lm.foreground_labels if self.is_cascaded else None)
 
     def _batch_to_device(self, batch: dict):
         data = np.moveaxis(batch["data"], 1, -1)  # channels-last
@@ -413,13 +428,40 @@ class NNUNetTrainer:
             compute_dtype=self.compute_dtype)
         params = jax.device_get(self.train_state.params)
 
+        next_stages = self.configuration_manager.next_stage_names or []
         for ident in val_keys:
             data, seg, props = ds_val.load_case(ident, mmap=False)
+            if self.is_cascaded:
+                from ..core.labels import convert_labelmap_to_one_hot
+                prev = np.load(join(self.folder_with_segs_from_previous_stage,
+                                    ident + ".npz"))["seg"]
+                onehot = convert_labelmap_to_one_hot(
+                    prev, self.label_manager.foreground_labels, data.dtype)
+                data = np.vstack([np.asarray(data), onehot])
             logits = engine.predict_logits(params, np.asarray(data))
             export_prediction_from_logits(
                 logits, props, self.configuration_manager, self.plans_manager,
                 self.dataset_json, join(validation_output_folder, ident),
                 save_probabilities)
+            # cascade: deposit this case's prediction on the next stage's grid
+            # (ref nnUNetTrainer validation + export_prediction.resample_and_save)
+            for ns in next_stages:
+                from ..inference.export import resample_and_save
+                ns_cfg = self.plans_manager.get_configuration(ns)
+                ns_data_folder = join(self.preprocessed_dataset_folder_base,
+                                      ns_cfg.data_identifier)
+                try:
+                    ns_data, _, _ = NpyCaseDataset(ns_data_folder).load_case(ident)
+                    target_shape = ns_data.shape[1:]
+                except (FileNotFoundError, KeyError, ValueError):
+                    continue  # next stage not preprocessed yet
+                out_folder = join(self.output_folder_base,
+                                  "predicted_next_stage", ns)
+                maybe_mkdir_p(out_folder)
+                resample_and_save(logits, target_shape,
+                                  join(out_folder, ident + ".npz"),
+                                  self.plans_manager, self.configuration_manager,
+                                  props, self.dataset_json)
 
         from ..paths import get_raw_folder
         gt_folder = join(get_raw_folder(), self.plans_manager.dataset_name, "labelsTr")
