@@ -5,8 +5,9 @@ from typing import Optional, Type
 from .base import BaseReaderWriter
 from .natural_image import NaturalImage2DIO
 from .nifti import NibabelIO, NiftiIO, SimpleITKIO
+from .nrrd import NrrdIO
 
-_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO]
+_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NrrdIO]
 _BY_NAME = {cls.__name__: cls for cls in _ALL_RW}
 # names that appear in reference-produced plans/dataset jsons
 _BY_NAME.update({
@@ -27,7 +28,7 @@ def determine_reader_writer_from_file_ending(file_ending: str,
     fe = file_ending.lower()
     if not fe.startswith("."):
         fe = "." + fe
-    for cls in (NiftiIO, NaturalImage2DIO):
+    for cls in (NiftiIO, NaturalImage2DIO, NrrdIO):
         if fe in cls.supported_file_endings or (
                 fe == ".gz" and ".nii.gz" in cls.supported_file_endings):
             return cls

@@ -204,10 +204,16 @@ class SlidingWindowEngine:
 
     # ------------------------------------------------------------------ host driver
     def _batched_coords(self, coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Pad to a multiple of tile_batch (zero-valid padding) and reshape to
-        (n_batches, B, dim) / (n_batches, B)."""
-        B = self.tile_batch
+        """Pad to a multiple of the tile batch (zero-valid padding) and reshape to
+        (n_batches, B, dim) / (n_batches, B). The batch size prefers the largest
+        divisor of the real tile count <= tile_batch so no padded slots burn
+        compute (e.g. 60 tiles with tile_batch 8 -> B=6, zero waste)."""
         n_real = len(coords)
+        B = self.tile_batch
+        for d in range(min(B, n_real), 0, -1):
+            if n_real % d == 0:
+                B = d
+                break
         n_tiles = _round_up(n_real, B)
         if n_tiles > n_real:
             coords = np.concatenate(

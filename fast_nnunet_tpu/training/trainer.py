@@ -319,6 +319,22 @@ class NNUNetTrainer:
                   sort_keys=False)
         save_json(self.dataset_json, join(self.output_folder_base, "dataset.json"),
                   sort_keys=False)
+        # environment dump (ref debug.json, nnUNetTrainer.py:268-301)
+        from ..utils.profiling import environment_summary
+        debug = environment_summary()
+        debug.update({
+            "trainer": self.__class__.__name__,
+            "configuration": self.configuration_name, "fold": str(self.fold),
+            "batch_size": self.configuration_manager.batch_size,
+            "patch_size": self.configuration_manager.patch_size,
+            "initial_lr": self.initial_lr, "weight_decay": self.weight_decay,
+            "num_epochs": self.num_epochs,
+            "num_iterations_per_epoch": self.num_iterations_per_epoch,
+            "oversample_foreground_percent": self.oversample_foreground_percent,
+            "enable_deep_supervision": self.enable_deep_supervision,
+            "compute_dtype": str(self.compute_dtype),
+        })
+        save_json(debug, join(self.output_folder, "debug.json"), sort_keys=False)
         self.get_dataloaders()
         self.print_to_log_file(
             f"Starting training: {self.plans_manager.dataset_name} "

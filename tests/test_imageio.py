@@ -106,3 +106,23 @@ def test_registry():
     assert determine_reader_writer_from_dataset_json(dj).supported_file_endings
     dj2 = {"overwrite_image_reader_writer": "NaturalImage2DIO", "file_ending": ".png"}
     assert determine_reader_writer_from_dataset_json(dj2) is NaturalImage2DIO
+
+
+def test_nrrd_roundtrip(tmp_path):
+    from fast_nnunet_tpu.imageio.nrrd import NrrdIO, read_nrrd, write_nrrd
+    data = np.random.RandomState(5).randint(0, 200, (6, 7, 8)).astype(np.int16)
+    f = str(tmp_path / "x.nrrd")
+    write_nrrd(f, data, spacing=(1.5, 0.7, 3.0))
+    back, hdr = read_nrrd(f)
+    np.testing.assert_array_equal(back, data)
+    np.testing.assert_allclose(hdr["_spacing"], [1.5, 0.7, 3.0], rtol=1e-6)
+
+    io = NrrdIO()
+    arr, props = io.read_images([f])
+    assert arr.shape == (1, 8, 7, 6)
+    assert props["spacing"] == [3.0, 0.7, 1.5]
+    out = str(tmp_path / "seg.nrrd")
+    io.write_seg((arr[0] > 100).astype(np.uint8), out, props)
+    seg, props2 = io.read_seg(out)
+    assert seg.shape == (1, 8, 7, 6)
+    assert props2["spacing"] == props["spacing"]
