@@ -208,6 +208,22 @@ class NNUNetPredictor:
         pools, ref :207-420, as threads — numpy/scipy drop the GIL)."""
         if isinstance(output_folder_or_list_of_truncated_output_files, str):
             maybe_mkdir_p(output_folder_or_list_of_truncated_output_files)
+            # provenance dump (ref predict_from_raw_data_args.json, :232-240)
+            from ..utils.io import save_json
+            save_json({
+                "input": str(list_of_lists_or_source_folder),
+                "output": output_folder_or_list_of_truncated_output_files,
+                "save_probabilities": save_probabilities,
+                "overwrite": overwrite,
+                "tile_step_size": self.tile_step_size,
+                "use_gaussian": self.use_gaussian,
+                "use_mirroring": self.use_mirroring,
+                "mirror_axes": list(self.allowed_mirroring_axes),
+                "trainer_name": self.trainer_name,
+                "num_folds": len(self.list_of_parameters),
+                "prev_stage": folder_with_segs_from_prev_stage,
+            }, join(output_folder_or_list_of_truncated_output_files,
+                    "predict_from_raw_data_args.json"), sort_keys=False)
         lists, out_files, seg_prev = self._manage_input_and_output_lists(
             list_of_lists_or_source_folder,
             output_folder_or_list_of_truncated_output_files,
