@@ -6,8 +6,9 @@ from .base import BaseReaderWriter
 from .natural_image import NaturalImage2DIO
 from .nifti import NibabelIO, NiftiIO, SimpleITKIO
 from .nrrd import NrrdIO
+from .mha import MhaIO
 
-_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NrrdIO]
+_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NrrdIO, MhaIO]
 _BY_NAME = {cls.__name__: cls for cls in _ALL_RW}
 # names that appear in reference-produced plans/dataset jsons
 _BY_NAME.update({
@@ -28,7 +29,7 @@ def determine_reader_writer_from_file_ending(file_ending: str,
     fe = file_ending.lower()
     if not fe.startswith("."):
         fe = "." + fe
-    for cls in (NiftiIO, NaturalImage2DIO, NrrdIO):
+    for cls in (NiftiIO, NaturalImage2DIO, NrrdIO, MhaIO):
         if fe in cls.supported_file_endings or (
                 fe == ".gz" and ".nii.gz" in cls.supported_file_endings):
             return cls

@@ -126,3 +126,21 @@ def test_nrrd_roundtrip(tmp_path):
     seg, props2 = io.read_seg(out)
     assert seg.shape == (1, 8, 7, 6)
     assert props2["spacing"] == props["spacing"]
+
+
+def test_mha_roundtrip(tmp_path):
+    from fast_nnunet_tpu.imageio.mha import MhaIO, read_mha, write_mha
+    data = np.random.RandomState(6).randint(-100, 400, (5, 6, 7)).astype(np.int16)
+    f = str(tmp_path / "x.mha")
+    write_mha(f, data, spacing=(0.8, 1.2, 2.5))
+    back, hdr = read_mha(f)
+    np.testing.assert_array_equal(back, data)
+    np.testing.assert_allclose(hdr["_spacing"], [0.8, 1.2, 2.5])
+    io = MhaIO()
+    arr, props = io.read_images([f])
+    assert arr.shape == (1, 7, 6, 5)
+    assert props["spacing"] == [2.5, 1.2, 0.8]
+    out = str(tmp_path / "seg.mha")
+    io.write_seg((arr[0] > 100).astype(np.uint8), out, props)
+    seg, p2 = io.read_seg(out)
+    assert seg.shape == (1, 7, 6, 5) and p2["spacing"] == props["spacing"]
