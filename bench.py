@@ -55,12 +55,13 @@ def main():
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1), jnp.bfloat16),
                       deep_supervision=False)
 
+    import os
     engine = SlidingWindowEngine(
         net, patch, num_classes,
         tile_step_size=0.5, use_gaussian=True, mirror_axes=(),
         compute_dtype=jnp.bfloat16, acc_dtype=jnp.float32,
         sweep_acc_dtype=jnp.bfloat16,
-        shape_bucket=32, tile_batch=8,
+        shape_bucket=32, tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
         max_accumulator_bytes=4 * 1024 ** 3)
 
     rng = np.random.RandomState(0)
