@@ -139,11 +139,14 @@ class SlidingWindowEngine:
 
         return forward_ensembled
 
-    def _accumulate_batch(self, a, w, vol, coords_b, valid_b, forward,
+    def _accumulate_batch(self, a, vol, coords_b, valid_b, forward,
                           stacked_params, gaussian, acc_dtype, in_channels,
                           x_offset=None):
         """One batched step: gather B patches, forward once, scatter-add each.
 
+        a: fused accumulator (*S, K+1) — channel K carries the gaussian weight
+        sum, so each tile needs ONE read-modify-write instead of two (measured
+        win: halves the chained dynamic_update_slice count).
         coords_b: (B, dim) int32; valid_b: (B,) float; x_offset: optional traced
         scalar added to axis-0 coords (rolling sweep uses chunk-local acc)."""
         patch = self.patch_size
@@ -163,12 +166,10 @@ class SlidingWindowEngine:
         for b in range(B):
             start = tuple(coords_b[b][i] for i in range(len(patch))) + (0,)
             gw = (gaussian * valid_b[b])[..., None]
-            contrib = (logits[b] * gw).astype(acc_dtype)
-            cur = jax.lax.dynamic_slice(a, start, patch + (K,))
+            contrib = jnp.concatenate([logits[b] * gw, gw], axis=-1).astype(acc_dtype)
+            cur = jax.lax.dynamic_slice(a, start, patch + (K + 1,))
             a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
-            curw = jax.lax.dynamic_slice(w, start, patch + (1,))
-            w = jax.lax.dynamic_update_slice(w, curw + gw.astype(acc_dtype), start)
-        return a, w
+        return a
 
     def _build_runner(self, vol_shape: Tuple[int, ...], n_batches: int,
                       n_folds: int, in_channels: int):
@@ -185,19 +186,17 @@ class SlidingWindowEngine:
 
         @jax.jit
         def run(stacked_params, vol, coords, valid):
-            acc = jnp.zeros(vol_shape + (K,), acc_dtype)
-            wsum = jnp.zeros(vol_shape + (1,), acc_dtype)
+            acc0 = jnp.zeros(vol_shape + (K + 1,), acc_dtype)
 
-            def body(carry, cv):
+            def body(a, cv):
                 coords_b, valid_b = cv
-                a, w = carry
-                a, w = self._accumulate_batch(a, w, vol, coords_b, valid_b,
-                                              forward, stacked_params, gaussian,
-                                              acc_dtype, in_channels)
-                return (a, w), None
+                a = self._accumulate_batch(a, vol, coords_b, valid_b, forward,
+                                           stacked_params, gaussian, acc_dtype,
+                                           in_channels)
+                return a, None
 
-            (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), (coords, valid))
-            return acc, wsum
+            acc, _ = jax.lax.scan(body, acc0, (coords, valid))
+            return acc[..., :K], acc[..., K:]
 
         self._jit_cache[key] = run
         return run
@@ -361,37 +360,33 @@ class SlidingWindowEngine:
 
         @jax.jit
         def sweep(stacked_params, vol, coords_yz, valid_yz):
-            acc0 = jnp.zeros((p0, *plane, K), acc_dtype)
-            w0 = jnp.zeros((p0, *plane, 1), acc_dtype)
+            acc0 = jnp.zeros((p0, *plane, K + 1), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
             def chunk_body(carry, k):
-                acc, w, seg = carry
+                acc, seg = carry
                 x0 = k * stride
 
-                def tile_body(c2, cv):
+                def tile_body(a, cv):
                     coords_b, valid_b = cv
-                    a, w_ = c2
-                    a, w_ = self._accumulate_batch(
-                        a, w_, vol, coords_b, valid_b, forward, stacked_params,
+                    a = self._accumulate_batch(
+                        a, vol, coords_b, valid_b, forward, stacked_params,
                         gaussian, acc_dtype, in_channels, x_offset=x0)
-                    return (a, w_), None
+                    return a, None
 
-                (acc, w), _ = jax.lax.scan(tile_body, (acc, w),
-                                           (coords_yz, valid_yz))
+                acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
                 if stride > 0:  # static: single-chunk sweeps finalize in the tail
-                    rows = finalize_rows(acc, w, stride)
+                    rows = finalize_rows(acc[..., :K], acc[..., K:], stride)
                     seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
                     acc = jnp.concatenate(
-                        [acc[stride:], jnp.zeros((stride, *plane, K), acc_dtype)], 0)
-                    w = jnp.concatenate(
-                        [w[stride:], jnp.zeros((stride, *plane, 1), acc_dtype)], 0)
-                return (acc, w, seg), None
+                        [acc[stride:],
+                         jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
+                return (acc, seg), None
 
-            (acc, w, seg), _ = jax.lax.scan(chunk_body, (acc0, w0, seg0),
-                                            jnp.arange(n_chunks))
+            (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
+                                         jnp.arange(n_chunks))
             if tail_rows > 0:
-                rows = finalize_rows(acc, w, tail_rows)
+                rows = finalize_rows(acc[..., :K], acc[..., K:], tail_rows)
                 seg = jax.lax.dynamic_update_slice(seg, rows,
                                                    (n_chunks * stride, 0, 0))
             return seg

@@ -108,31 +108,26 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
         vol_local = vol_local[0]
         coords = coords[0]
         valid = valid[0]
-        acc = jnp.zeros((ext, *plane, K), acc_dtype)
-        w = jnp.zeros((ext, *plane, 1), acc_dtype)
+        acc0 = jnp.zeros((ext, *plane, K + 1), acc_dtype)  # fused logits+weight
 
-        def body(carry, cv):
-            a, w_ = carry
+        def body(a, cv):
             cb, vb = cv
-            a, w_ = engine._accumulate_batch(a, w_, vol_local, cb, vb, forward,
-                                             params, gaussian, acc_dtype,
-                                             in_channels)
-            return (a, w_), None
+            return engine._accumulate_batch(a, vol_local, cb, vb, forward,
+                                            params, gaussian, acc_dtype,
+                                            in_channels), None
 
-        (acc, w), _ = jax.lax.scan(body, (acc, w), (coords, valid))
+        acc, _ = jax.lax.scan(body, acc0, (coords, valid))
 
         # send the overhang [owned, ext) right; receive from the left into [0, halo)
         if halo > 0 and D > 1:
-            tail_a = jax.lax.ppermute(acc[owned:], axis_name, perm_right)
-            tail_w = jax.lax.ppermute(w[owned:], axis_name, perm_right)
+            tail = jax.lax.ppermute(acc[owned:], axis_name, perm_right)
             idx = jax.lax.axis_index(axis_name)
             # device 0 has no left neighbor: the ring wraps, so mask it out
             keep = (idx > 0).astype(acc.dtype)
-            acc = acc.at[:halo].add(tail_a * keep)
-            w = w.at[:halo].add(tail_w * keep)
+            acc = acc.at[:halo].add(tail * keep)
 
-        a32 = acc[:owned].astype(jnp.float32)
-        w32 = w[:owned].astype(jnp.float32)
+        a32 = acc[:owned, ..., :K].astype(jnp.float32)
+        w32 = acc[:owned, ..., K:].astype(jnp.float32)
         probs = jnp.where(w32 > 0, a32 / jnp.maximum(w32, 1e-30), 0.0)
         seg = probs.argmax(-1).astype(jnp.uint8)
         return seg[None]  # re-add the sharded leading axis
