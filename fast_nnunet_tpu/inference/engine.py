@@ -77,7 +77,8 @@ class SlidingWindowEngine:
                  sweep_acc_dtype=None,
                  shape_bucket: int = 32,
                  tile_batch: int = 8,
-                 max_accumulator_bytes: int = 4 * 1024 ** 3):
+                 max_accumulator_bytes: int = 4 * 1024 ** 3,
+                 use_pallas_accumulate: bool = False):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
@@ -92,6 +93,10 @@ class SlidingWindowEngine:
         self.shape_bucket = shape_bucket
         self.tile_batch = max(1, int(tile_batch))
         self.max_accumulator_bytes = max_accumulator_bytes
+        # Pallas scatter-accumulate kernel (ops/pallas_kernels.py) instead of
+        # chained dynamic_update_slices; interpret mode on non-TPU backends
+        self.use_pallas_accumulate = use_pallas_accumulate
+        self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
 
         if self.use_gaussian:
             g = compute_gaussian(self.patch_size).astype(np.float32)
@@ -162,6 +167,15 @@ class SlidingWindowEngine:
                 vol, tuple(start_vol) + (0,), patch + (in_channels,)))
         x = jnp.stack(patches).astype(self.compute_dtype)
         logits = forward(stacked_params, x)  # (B, *patch, K) fp32
+
+        if self.use_pallas_accumulate:
+            # x_offset shifts only the volume READS (rolling sweep); accumulator
+            # coordinates stay chunk-local, exactly like the XLA path below
+            from ..ops.pallas_kernels import scatter_accumulate
+            gw = gaussian[None, ..., None] * valid_b[:, None, None, None, None]
+            contrib = jnp.concatenate([logits * gw, gw], axis=-1)
+            return scatter_accumulate(a, contrib, coords_b,
+                                      interpret=self._pallas_interpret)
 
         for b in range(B):
             start = tuple(coords_b[b][i] for i in range(len(patch))) + (0,)
