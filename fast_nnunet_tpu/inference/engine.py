@@ -94,7 +94,10 @@ class SlidingWindowEngine:
         self.tile_batch = max(1, int(tile_batch))
         self.max_accumulator_bytes = max_accumulator_bytes
         # Pallas scatter-accumulate kernel (ops/pallas_kernels.py) instead of
-        # chained dynamic_update_slices; interpret mode on non-TPU backends
+        # chained dynamic_update_slices; interpret mode on non-TPU backends.
+        # Mosaic DMA slices need the minor (channel) dim 128-aligned, so the
+        # accumulator is lane-padded on the Pallas path (the VMEM layout pads
+        # to 128 lanes either way; this makes the HBM layout match it).
         self.use_pallas_accumulate = use_pallas_accumulate
         self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
 
@@ -104,6 +107,12 @@ class SlidingWindowEngine:
             g = np.ones(self.patch_size, dtype=np.float32)
         self._gaussian_base = g
         self._jit_cache = {}
+
+    def _acc_channels(self) -> int:
+        c = self.num_classes + 1
+        if self.use_pallas_accumulate and not self._pallas_interpret:
+            c = _round_up(c, 128)
+        return c
 
     def _gaussian_for(self, dtype) -> jnp.ndarray:
         g = self._gaussian_base
@@ -174,6 +183,11 @@ class SlidingWindowEngine:
             from ..ops.pallas_kernels import scatter_accumulate
             gw = gaussian[None, ..., None] * valid_b[:, None, None, None, None]
             contrib = jnp.concatenate([logits * gw, gw], axis=-1)
+            pad = a.shape[-1] - contrib.shape[-1]
+            if pad > 0:  # lane-pad to the accumulator's channel count
+                contrib = jnp.concatenate(
+                    [contrib, jnp.zeros(contrib.shape[:-1] + (pad,),
+                                        contrib.dtype)], axis=-1)
             return scatter_accumulate(a, contrib, coords_b,
                                       interpret=self._pallas_interpret)
 
@@ -198,9 +212,11 @@ class SlidingWindowEngine:
         acc_dtype = self.acc_dtype
         gaussian = self._gaussian_for(acc_dtype)
 
+        C_acc = self._acc_channels()
+
         @jax.jit
         def run(stacked_params, vol, coords, valid):
-            acc0 = jnp.zeros(vol_shape + (K + 1,), acc_dtype)
+            acc0 = jnp.zeros(vol_shape + (C_acc,), acc_dtype)
 
             def body(a, cv):
                 coords_b, valid_b = cv
@@ -210,7 +226,7 @@ class SlidingWindowEngine:
                 return a, None
 
             acc, _ = jax.lax.scan(body, acc0, (coords, valid))
-            return acc[..., :K], acc[..., K:]
+            return acc[..., :K], acc[..., K:K + 1]
 
         self._jit_cache[key] = run
         return run
@@ -251,7 +267,7 @@ class SlidingWindowEngine:
         padded = [_round_up(max(s, p), self.shape_bucket)
                   for s, p in zip(spatial, self.patch_size)]
         # x2: scan carry + jit output buffers can coexist
-        return int(math.prod(padded) * (self.num_classes + 1)
+        return int(math.prod(padded) * self._acc_channels()
                    * self.acc_dtype.itemsize * 2)
 
     def predict_logits(self, params_list, volume: np.ndarray) -> np.ndarray:
@@ -372,9 +388,11 @@ class SlidingWindowEngine:
             probs = jnp.where(w > 0, a / jnp.maximum(w, 1e-30), 0.0)
             return probs.argmax(-1).astype(jnp.uint8)
 
+        C_acc = self._acc_channels()
+
         @jax.jit
         def sweep(stacked_params, vol, coords_yz, valid_yz):
-            acc0 = jnp.zeros((p0, *plane, K + 1), acc_dtype)
+            acc0 = jnp.zeros((p0, *plane, C_acc), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
             def chunk_body(carry, k):
@@ -390,17 +408,17 @@ class SlidingWindowEngine:
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
                 if stride > 0:  # static: single-chunk sweeps finalize in the tail
-                    rows = finalize_rows(acc[..., :K], acc[..., K:], stride)
+                    rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], stride)
                     seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
                     acc = jnp.concatenate(
                         [acc[stride:],
-                         jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
+                         jnp.zeros((stride, *plane, C_acc), acc_dtype)], 0)
                 return (acc, seg), None
 
             (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
                                          jnp.arange(n_chunks))
             if tail_rows > 0:
-                rows = finalize_rows(acc[..., :K], acc[..., K:], tail_rows)
+                rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], tail_rows)
                 seg = jax.lax.dynamic_update_slice(seg, rows,
                                                    (n_chunks * stride, 0, 0))
             return seg
