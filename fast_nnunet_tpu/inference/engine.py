@@ -155,7 +155,7 @@ class SlidingWindowEngine:
 
     def _accumulate_batch(self, a, vol, coords_b, valid_b, forward,
                           stacked_params, gaussian, acc_dtype, in_channels,
-                          x_offset=None):
+                          x_offset=None, use_pallas=False):
         """One batched step: gather B patches, forward once, scatter-add each.
 
         a: fused accumulator (*S, K+1) — channel K carries the gaussian weight
@@ -177,9 +177,10 @@ class SlidingWindowEngine:
         x = jnp.stack(patches).astype(self.compute_dtype)
         logits = forward(stacked_params, x)  # (B, *patch, K) fp32
 
-        if self.use_pallas_accumulate:
+        if use_pallas:
             # x_offset shifts only the volume READS (rolling sweep); accumulator
             # coordinates stay chunk-local, exactly like the XLA path below
+            # (requires 16-aligned tile coords — the sweep quantizes its grid)
             from ..ops.pallas_kernels import scatter_accumulate
             gw = gaussian[None, ..., None] * valid_b[:, None, None, None, None]
             contrib = jnp.concatenate([logits * gw, gw], axis=-1)
@@ -403,7 +404,8 @@ class SlidingWindowEngine:
                     coords_b, valid_b = cv
                     a = self._accumulate_batch(
                         a, vol, coords_b, valid_b, forward, stacked_params,
-                        gaussian, acc_dtype, in_channels, x_offset=x0)
+                        gaussian, acc_dtype, in_channels, x_offset=x0,
+                        use_pallas=self.use_pallas_accumulate)
                     return a, None
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
@@ -449,10 +451,20 @@ class SlidingWindowEngine:
         if n_starts == 1:
             stride, tail_rows = 0, p0  # finalize everything in the tail
 
-        # y/z grid: reference steps (any spacing is fine in-plane)
+        # y/z grid: reference-spread steps, or uniform 16-aligned strides when
+        # the Pallas scatter kernel is on (Mosaic offset provability)
         tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
-        steps_rest = compute_steps_for_sliding_window(
-            tight_rest, self.patch_size[1:], self.tile_step_size)
+        if self.use_pallas_accumulate:
+            steps_rest, needed = [], []
+            for t, p in zip(tight_rest, self.patch_size[1:]):
+                stride = max(16, (int(p * self.tile_step_size) // 16) * 16)
+                n = int(np.ceil((t - p) / stride)) + 1 if t > p else 1
+                steps_rest.append([k * stride for k in range(n)])
+                needed.append((n - 1) * stride + p)
+            tight_rest = tuple(max(t, n_) for t, n_ in zip(tight_rest, needed))
+        else:
+            steps_rest = compute_steps_for_sliding_window(
+                tight_rest, self.patch_size[1:], self.tile_step_size)
         coords_yz = tile_coords_from_steps(steps_rest)
         # prepend a zero x column so batched coords are (B, dim)
         coords_full = np.concatenate(

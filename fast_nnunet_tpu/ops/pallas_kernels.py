@@ -46,16 +46,19 @@ def _pick_sub(px: int, py: int, pz: int, channels: int, itemsize: int,
     return x_sub, c_block
 
 
-def _scatter_kernel(coords_ref, acc_in, contrib_ref, acc_out, scratch, sem):
+def _scatter_kernel(coords_ref, acc_in, contrib_ref, acc_out, scratch, sem,
+                    *, offset_align: int):
     # acc_in is aliased to acc_out (same HBM buffer); operate through acc_out
     del acc_in
     b = pl.program_id(0)
     i = pl.program_id(1)
     x_sub = scratch.shape[0]
 
-    x0 = coords_ref[b, 0] + i * x_sub
-    y0 = coords_ref[b, 1]
-    z0 = coords_ref[b, 2]
+    # Mosaic must statically prove tiled-dim offsets divisible by the sublane
+    # tiling; the caller guarantees coords are multiples of offset_align
+    x0 = pl.multiple_of(coords_ref[b, 0], offset_align) + i * x_sub
+    y0 = pl.multiple_of(coords_ref[b, 1], offset_align)
+    z0 = pl.multiple_of(coords_ref[b, 2], offset_align)
     py, pz = scratch.shape[1], scratch.shape[2]
 
     region = acc_out.at[pl.ds(x0, x_sub), pl.ds(y0, py), pl.ds(z0, pz), :]
@@ -69,12 +72,14 @@ def _scatter_kernel(coords_ref, acc_in, contrib_ref, acc_out, scratch, sem):
 
 
 def scatter_accumulate(acc: jnp.ndarray, contrib: jnp.ndarray,
-                       coords: jnp.ndarray, *, interpret: bool = False
-                       ) -> jnp.ndarray:
+                       coords: jnp.ndarray, *, interpret: bool = False,
+                       offset_align: int = 16) -> jnp.ndarray:
     """acc (X,Y,Z,C) += contrib (B,px,py,pz,C) at coords (B,3). Returns acc.
 
     Overlapping tiles are handled correctly (sequential TPU grid). The contrib
     must already include the validity masking (invalid tiles contribute zeros).
+    ALL tile coordinates must be multiples of offset_align (Mosaic sublane
+    tiling provability) — the engine quantizes its tile grid accordingly.
     """
     B, px, py, pz, C = contrib.shape
     assert coords.shape == (B, 3)
@@ -98,8 +103,9 @@ def scatter_accumulate(acc: jnp.ndarray, contrib: jnp.ndarray,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    kernel = functools.partial(_scatter_kernel, offset_align=offset_align)
     return pl.pallas_call(
-        _scatter_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
         input_output_aliases={1: 0},  # acc (first tensor after prefetch) -> out
