@@ -213,7 +213,7 @@ class SlidingWindowEngine:
         acc_dtype = self.acc_dtype
         gaussian = self._gaussian_for(acc_dtype)
 
-        C_acc = self._acc_channels()
+        C_acc = self.num_classes + 1  # the logits path stays on XLA (grid-exact)
 
         @jax.jit
         def run(stacked_params, vol, coords, valid):
@@ -364,14 +364,15 @@ class SlidingWindowEngine:
     # ------------------------------------------------------------------ turbo sweep
     def _build_sweep_runner(self, vol_shape: Tuple[int, ...], n_chunks: int,
                             stride: int, n_batches: int, n_folds: int,
-                            in_channels: int, tail_rows: int):
+                            in_channels: int, tail_rows: int,
+                            use_pallas: bool = False):
         """Single-jit whole-volume sweep for argmax serving (the bone_turbo path):
         scan over x-chunks with a rolling accumulator of x-extent = patch[0].
         Each chunk accumulates its (y, z) tile-grid batches, finalizes (divide +
         argmax) its owned `stride` rows on device, writes them into the uint8
         output, and shifts the accumulator. D2H is the segmentation only."""
         key = ("sweep", vol_shape, n_chunks, stride, n_batches, n_folds,
-               in_channels, tail_rows)
+               in_channels, tail_rows, use_pallas)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -389,7 +390,7 @@ class SlidingWindowEngine:
             probs = jnp.where(w > 0, a / jnp.maximum(w, 1e-30), 0.0)
             return probs.argmax(-1).astype(jnp.uint8)
 
-        C_acc = self._acc_channels()
+        C_acc = self._acc_channels() if use_pallas else self.num_classes + 1
 
         @jax.jit
         def sweep(stacked_params, vol, coords_yz, valid_yz):
@@ -405,7 +406,7 @@ class SlidingWindowEngine:
                     a = self._accumulate_batch(
                         a, vol, coords_b, valid_b, forward, stacked_params,
                         gaussian, acc_dtype, in_channels, x_offset=x0,
-                        use_pallas=self.use_pallas_accumulate)
+                        use_pallas=use_pallas)
                     return a, None
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
@@ -440,6 +441,11 @@ class SlidingWindowEngine:
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
         n_folds = len(params_list)
 
+        # the Pallas kernel needs 16-aligned tile strides; tiny patches can't
+        # provide them without coverage holes -> fall back to the XLA path
+        use_pallas = self.use_pallas_accumulate and all(
+            int(p * self.tile_step_size) >= 16 for p in self.patch_size[1:])
+
         spatial = volume.shape[1:]
         p0 = self.patch_size[0]
         stride = max(1, int(p0 * self.tile_step_size))
@@ -454,13 +460,13 @@ class SlidingWindowEngine:
         # y/z grid: reference-spread steps, or uniform 16-aligned strides when
         # the Pallas scatter kernel is on (Mosaic offset provability)
         tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
-        if self.use_pallas_accumulate:
+        if use_pallas:
             steps_rest, needed = [], []
             for t, p in zip(tight_rest, self.patch_size[1:]):
-                stride = max(16, (int(p * self.tile_step_size) // 16) * 16)
-                n = int(np.ceil((t - p) / stride)) + 1 if t > p else 1
-                steps_rest.append([k * stride for k in range(n)])
-                needed.append((n - 1) * stride + p)
+                plane_stride = max(16, (int(p * self.tile_step_size) // 16) * 16)
+                n = int(np.ceil((t - p) / plane_stride)) + 1 if t > p else 1
+                steps_rest.append([k * plane_stride for k in range(n)])
+                needed.append((n - 1) * plane_stride + p)
             tight_rest = tuple(max(t, n_) for t, n_ in zip(tight_rest, needed))
         else:
             steps_rest = compute_steps_for_sliding_window(
@@ -481,7 +487,8 @@ class SlidingWindowEngine:
 
         sweep = self._build_sweep_runner(vol_shape, n_chunks, stride,
                                          len(coords_b), n_folds,
-                                         volume.shape[0], tail_rows)
+                                         volume.shape[0], tail_rows,
+                                         use_pallas=use_pallas)
         seg = sweep(stacked, jnp.asarray(vol), jnp.asarray(coords_b),
                     jnp.asarray(valid_b))
         return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]

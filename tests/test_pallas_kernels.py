@@ -49,30 +49,48 @@ def test_scatter_accumulate_bf16():
                                np.asarray(contrib[0], np.float32), rtol=1e-2)
 
 
-def test_engine_with_pallas_accumulate_matches_xla():
-    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+def _tiny_net(patch, K=2):
     from fast_nnunet_tpu.models.factory import get_network_from_plans
     kw = {"n_stages": 2, "features_per_stage": [4, 8],
           "kernel_sizes": [[3, 3, 3]] * 2, "strides": [[1, 1, 1], [2, 2, 2]],
           "n_conv_per_stage": [1, 1], "n_conv_per_stage_decoder": [1],
           "nonlin": "torch.nn.LeakyReLU"}
-    net = get_network_from_plans("PlainConvUNet", kw, (), 1, 2)
-    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)),
+    net = get_network_from_plans("PlainConvUNet", kw, (), 1, K)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1)),
                       deep_supervision=False)
-    vol = np.random.RandomState(0).rand(1, 16, 12, 12).astype(np.float32)
+    return net, params
 
+
+def test_engine_pallas_falls_back_for_tiny_patches():
+    """Patches whose in-plane stride can't reach 16 use the XLA path -> exact."""
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    net, params = _tiny_net((8, 8, 8))
+    vol = np.random.RandomState(0).rand(1, 16, 12, 12).astype(np.float32)
     base = SlidingWindowEngine(net, (8, 8, 8), 2, shape_bucket=4,
                                compute_dtype=jnp.float32, tile_batch=4)
     pall = SlidingWindowEngine(net, (8, 8, 8), 2, shape_bucket=4,
                                compute_dtype=jnp.float32, tile_batch=4,
                                use_pallas_accumulate=True)
-    # the logits path never uses the Pallas kernel (grid-exact semantics)
     np.testing.assert_allclose(pall.predict_logits(params, vol),
                                base.predict_logits(params, vol),
                                atol=1e-4, rtol=1e-4)
-    # the Pallas sweep quantizes in-plane tile starts to multiples of 16, so
-    # placement differs slightly from the reference-spread grid
+    np.testing.assert_array_equal(pall.predict_segmentation_sweep(params, vol),
+                                  base.predict_segmentation_sweep(params, vol))
+
+
+def test_engine_pallas_sweep_active():
+    """Patch 32: aligned stride 16 == reference target -> the Pallas sweep runs
+    (interpret mode on CPU) and agrees with the XLA sweep away from grid edges."""
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    net, params = _tiny_net((32, 32, 32))
+    vol = np.random.RandomState(1).rand(1, 48, 40, 40).astype(np.float32)
+    base = SlidingWindowEngine(net, (32, 32, 32), 2, shape_bucket=8,
+                               compute_dtype=jnp.float32, tile_batch=2)
+    pall = SlidingWindowEngine(net, (32, 32, 32), 2, shape_bucket=8,
+                               compute_dtype=jnp.float32, tile_batch=2,
+                               use_pallas_accumulate=True)
     sweep_p = pall.predict_segmentation_sweep(params, vol)
     sweep_b = base.predict_segmentation_sweep(params, vol)
     assert sweep_p.shape == sweep_b.shape
-    assert (sweep_p == sweep_b).mean() > 0.95
+    agree = (sweep_p == sweep_b).mean()
+    assert agree > 0.9, f"pallas/xla sweep agreement too low: {agree}"
