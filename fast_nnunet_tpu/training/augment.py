@@ -103,7 +103,8 @@ def configure_rotation_dummyDA_mirroring_and_initial_patch_size(patch_size):
 def spatial_augment(data: np.ndarray, seg: np.ndarray, final_patch_size,
                     rotation_range, rng: np.random.RandomState,
                     p_rotation: float = 0.2, p_scaling: float = 0.2,
-                    scale_range=(0.7, 1.4), dummy_2d: bool = False):
+                    scale_range=(0.7, 1.4), dummy_2d: bool = False,
+                    data_order: int = 1):
     """Random rotation + isotropic zoom about the patch center, then center-crop
     to final_patch_size. Data: linear interp; seg: nearest."""
     dim = len(final_patch_size)
@@ -141,7 +142,8 @@ def spatial_augment(data: np.ndarray, seg: np.ndarray, final_patch_size,
     for c_ in range(data.shape[0]):
         out_data[c_] = affine_transform(data[c_], M, offset=offset,
                                         output_shape=tuple(final_patch_size),
-                                        order=1, mode="constant", cval=0.0)
+                                        order=data_order, mode="constant",
+                                        cval=0.0)
     out_seg = np.empty((seg.shape[0], *final_patch_size), dtype=seg.dtype)
     for c_ in range(seg.shape[0]):
         out_seg[c_] = affine_transform(seg[c_], M, offset=offset,
@@ -326,7 +328,9 @@ class TrainingAugmenter:
                  use_mask_for_norm=None, dummy_2d: bool = False,
                  regions=None, ignore_label: Optional[int] = None,
                  ds_scales: Optional[List[Tuple[float, ...]]] = None,
-                 cascade_labels: Optional[List[int]] = None):
+                 cascade_labels: Optional[List[int]] = None,
+                 spatial_data_order: int = 1):
+        self.spatial_data_order = spatial_data_order
         self.patch_size = tuple(patch_size)
         self.rotation_range = rotation_range
         self.mirror_axes = tuple(mirror_axes) if mirror_axes is not None else ()
@@ -342,7 +346,8 @@ class TrainingAugmenter:
         seg = np.ascontiguousarray(seg)
         data, seg = spatial_augment(data, seg, self.patch_size,
                                     self.rotation_range, rng,
-                                    dummy_2d=self.dummy_2d)
+                                    dummy_2d=self.dummy_2d,
+                                    data_order=self.spatial_data_order)
         data = gaussian_noise(data, rng)
         data = gaussian_blur(data, rng)
         data = multiplicative_brightness(data, rng)

@@ -274,3 +274,55 @@ class NNUNetTrainerBenchmark_5epochs_noDataLoading(NNUNetTrainerBenchmark_5epoch
         self.dataloader_train = _Const(cached_train)
         self.dataloader_val = _Const(cached_val)
         return self.dataloader_train, self.dataloader_val
+
+
+# --------------------------------------------------------------- sampling/geometry
+class NNUNetTrainer_probabilisticOversampling(NNUNetTrainer):
+    """Per-sample Bernoulli(0.33) fg forcing instead of the deterministic
+    last-third rule (ref variants/sampling/nnUNetTrainer_probabilisticOversampling.py)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.probabilistic_oversampling = True
+
+
+class NNUNetTrainer_probabilisticOversampling_033(NNUNetTrainer_probabilisticOversampling):
+    pass
+
+
+class NNUNetTrainer_probabilisticOversampling_010(NNUNetTrainer_probabilisticOversampling):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.oversample_foreground_percent = 0.10
+
+
+class NNUNetTrainer_probabilisticOversampling_050(NNUNetTrainer_probabilisticOversampling):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.oversample_foreground_percent = 0.50
+
+
+class NNUNetTrainerNoDummy2D(NNUNetTrainer):
+    """Disable dummy-2D augmentation on anisotropic patches (ref variants/
+    data_augmentation nnUNetTrainer_noDummy2DDA)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        return super()._make_training_transform(
+            patch_size, rotation, mirror_axes, False, lm, ds_scales)
+
+
+class NNUNetTrainerDAOrd0(NNUNetTrainer):
+    """Nearest-neighbor (order-0) spatial resampling for data during augmentation
+    (ref variants/data_augmentation nnUNetTrainerDAOrd0) — cheaper host DA."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        return TrainingAugmenter(
+            patch_size, rotation, mirror_axes,
+            use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
+            dummy_2d=dummy_2d,
+            regions=lm.foreground_regions if lm.has_regions else None,
+            ignore_label=lm.ignore_label, ds_scales=ds_scales,
+            cascade_labels=lm.foreground_labels if self.is_cascaded else None,
+            spatial_data_order=0)
