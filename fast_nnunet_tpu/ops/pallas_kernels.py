@@ -26,8 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_sub(px: int, py: int, pz: int, channels: int, itemsize: int,
-              budget_bytes: int = 8 * 1024 * 1024) -> Tuple[int, int]:
-    """(x_sub, c_block) so that 2 blocks (acc slab + contrib slab) fit VMEM."""
+              budget_bytes: int = 5 * 1024 * 1024) -> Tuple[int, int]:
+    """(x_sub, c_block) so that scratch + the (double-buffered) contrib block fit
+    the 16 MB VMEM: Mosaic pipelines BlockSpec inputs with 2 buffers, so the
+    real footprint is ~3x one block — budget accordingly."""
     c_block = channels
     x_sub = px
     while 2 * x_sub * py * pz * c_block * itemsize > budget_bytes:
