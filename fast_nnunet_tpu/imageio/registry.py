@@ -7,8 +7,9 @@ from .natural_image import NaturalImage2DIO
 from .nifti import NibabelIO, NiftiIO, SimpleITKIO
 from .nrrd import NrrdIO
 from .mha import MhaIO
+from .tiff import Tiff3DIO
 
-_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NrrdIO, MhaIO]
+_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NrrdIO, MhaIO, Tiff3DIO]
 _BY_NAME = {cls.__name__: cls for cls in _ALL_RW}
 # names that appear in reference-produced plans/dataset jsons
 _BY_NAME.update({
@@ -29,7 +30,7 @@ def determine_reader_writer_from_file_ending(file_ending: str,
     fe = file_ending.lower()
     if not fe.startswith("."):
         fe = "." + fe
-    for cls in (NiftiIO, NaturalImage2DIO, NrrdIO, MhaIO):
+    for cls in (NiftiIO, NrrdIO, MhaIO, Tiff3DIO, NaturalImage2DIO):
         if fe in cls.supported_file_endings or (
                 fe == ".gz" and ".nii.gz" in cls.supported_file_endings):
             return cls

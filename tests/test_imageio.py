@@ -144,3 +144,16 @@ def test_mha_roundtrip(tmp_path):
     io.write_seg((arr[0] > 100).astype(np.uint8), out, props)
     seg, p2 = io.read_seg(out)
     assert seg.shape == (1, 7, 6, 5) and p2["spacing"] == props["spacing"]
+
+
+def test_tiff3d_roundtrip(tmp_path):
+    from fast_nnunet_tpu.imageio.tiff import Tiff3DIO
+    import json
+    vol = np.random.RandomState(7).randint(0, 255, (5, 8, 9)).astype(np.uint8)
+    f = str(tmp_path / "x.tif")
+    Tiff3DIO().write_seg(vol, f, {"spacing": [2.0, 1.0, 1.0]})
+    io = Tiff3DIO()
+    arr, props = io.read_images([f])
+    assert arr.shape == (1, 5, 8, 9)
+    np.testing.assert_array_equal(arr[0].astype(np.uint8), vol)
+    assert props["spacing"] == [2.0, 1.0, 1.0]
