@@ -110,8 +110,10 @@ class SlidingWindowEngine:
 
     def _acc_channels(self) -> int:
         c = self.num_classes + 1
-        if self.use_pallas_accumulate and not self._pallas_interpret:
-            c = _round_up(c, 128)
+        if self.use_pallas_accumulate:
+            # the Pallas kernel flattens (Z, C) into the minor dim and needs
+            # C % 8 == 0 so z-offsets*C stay 128-aligned (3% pad for 61 classes)
+            c = _round_up(c, 8)
         return c
 
     def _gaussian_for(self, dtype) -> jnp.ndarray:

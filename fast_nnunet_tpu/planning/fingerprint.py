@@ -91,9 +91,11 @@ class DatasetFingerprintExtractor:
                                          self.dataset[k]["label"], rw_class,
                                          samples_per_case) for k in keys]
         else:
+            from ..utils.mp_env import cpu_only_child_env
             ctx = multiprocessing.get_context("spawn")
-            with ProcessPoolExecutor(max_workers=self.num_processes,
-                                     mp_context=ctx) as ex:
+            with cpu_only_child_env(), \
+                    ProcessPoolExecutor(max_workers=self.num_processes,
+                                        mp_context=ctx) as ex:
                 futures = [ex.submit(self.analyze_case, self.dataset[k]["images"],
                                      self.dataset[k]["label"], rw_class,
                                      samples_per_case) for k in keys]

@@ -189,8 +189,11 @@ class DefaultPreprocessor:
                 self.run_case_save(out_trunc, images, label, plans_manager,
                                    configuration_manager, dataset_json)
         else:
+            from ..utils.mp_env import cpu_only_child_env
             ctx = multiprocessing.get_context("spawn")
-            with ProcessPoolExecutor(max_workers=num_processes, mp_context=ctx) as ex:
+            with cpu_only_child_env(), \
+                    ProcessPoolExecutor(max_workers=num_processes,
+                                        mp_context=ctx) as ex:
                 futures = {
                     ex.submit(_run_case_save_worker, type(self), out_trunc, images,
                               label, plans_manager.plans, configuration_name,

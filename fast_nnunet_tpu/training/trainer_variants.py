@@ -29,7 +29,8 @@ def _epochs_variant(n: int):
     return _T
 
 
-NNUNetTrainer_1epoch = _epochs_variant(1)
+NNUNetTrainer_1epochs = _epochs_variant(1)
+NNUNetTrainer_1epoch = NNUNetTrainer_1epochs  # alias
 NNUNetTrainer_5epochs = _epochs_variant(5)
 NNUNetTrainer_10epochs = _epochs_variant(10)
 NNUNetTrainer_50epochs = _epochs_variant(50)

@@ -19,9 +19,9 @@ def reference_scatter(acc, contrib, coords):
 
 def test_scatter_accumulate_matches_reference():
     rng = np.random.RandomState(0)
-    acc = rng.rand(16, 16, 16, 4).astype(np.float32)
-    contrib = rng.rand(3, 8, 8, 8, 4).astype(np.float32)
-    coords = np.array([[0, 0, 0], [4, 4, 4], [8, 8, 8]], np.int32)
+    acc = rng.rand(48, 48, 48, 8).astype(np.float32)
+    contrib = rng.rand(3, 16, 16, 16, 8).astype(np.float32)
+    coords = np.array([[0, 0, 0], [16, 16, 16], [32, 32, 32]], np.int32)
     got = scatter_accumulate(jnp.asarray(acc), jnp.asarray(contrib),
                              jnp.asarray(coords), interpret=True)
     want = reference_scatter(acc, contrib, coords)
@@ -29,20 +29,20 @@ def test_scatter_accumulate_matches_reference():
 
 
 def test_scatter_accumulate_overlapping_tiles():
-    acc = np.zeros((12, 8, 8, 2), np.float32)
-    contrib = np.ones((2, 8, 8, 8, 2), np.float32)
-    coords = np.array([[0, 0, 0], [4, 0, 0]], np.int32)  # overlap rows 4..8
+    acc = np.zeros((48, 32, 32, 8), np.float32)
+    contrib = np.ones((2, 32, 32, 32, 8), np.float32)
+    coords = np.array([[0, 0, 0], [16, 0, 0]], np.int32)  # overlap rows 16..32
     got = np.asarray(scatter_accumulate(jnp.asarray(acc), jnp.asarray(contrib),
                                         jnp.asarray(coords), interpret=True))
-    assert (got[0:4] == 1).all()
-    assert (got[4:8] == 2).all()   # both tiles contributed
-    assert (got[8:12] == 1).all()
+    assert (got[0:16] == 1).all()
+    assert (got[16:32] == 2).all()   # both tiles contributed
+    assert (got[32:48] == 1).all()
 
 
 def test_scatter_accumulate_bf16():
     rng = np.random.RandomState(1)
-    acc = jnp.zeros((8, 8, 8, 3), jnp.bfloat16)
-    contrib = jnp.asarray(rng.rand(1, 8, 8, 8, 3), jnp.bfloat16)
+    acc = jnp.zeros((16, 16, 16, 8), jnp.bfloat16)
+    contrib = jnp.asarray(rng.rand(1, 16, 16, 16, 8), jnp.bfloat16)
     coords = jnp.asarray([[0, 0, 0]], jnp.int32)
     got = scatter_accumulate(acc, contrib, coords, interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32),
