@@ -431,6 +431,151 @@ class SlidingWindowEngine:
         self._jit_cache[key] = sweep
         return sweep
 
+    # ------------------------------------------------------------------ coset sweep
+    def _build_coset_runner(self, vol_shape: Tuple[int, ...], n_chunks: int,
+                            stride: int, ny: int, nz: int, n_folds: int,
+                            in_channels: int, tail_rows: int):
+        """Coset-decomposed rolling sweep — the fastest serving path.
+
+        With tile step 0.5 the uniform grid splits into 4 cosets per chunk
+        (even/odd y x even/odd z); within a coset, tiles are DISJOINT and tile
+        the plane exactly, so the whole accumulation is: one batched forward per
+        coset -> transpose/reshape to the plane -> one dense add. No dynamic
+        scatter on the accumulator at all (the dummy-forward experiment showed
+        dynamic_update_slice chains, not convs, dominate sweep time)."""
+        key = ("coset", vol_shape, n_chunks, stride, ny, nz, n_folds,
+               in_channels, tail_rows)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        patch = self.patch_size
+        p0, py, pz = patch
+        K = self.num_classes
+        forward = self._tile_step_fn(n_folds)
+        acc_dtype = self.sweep_acc_dtype
+        gaussian = self._gaussian_for(acc_dtype)
+        plane = vol_shape[1:]  # (Yp, Zp) — sized for full coset coverage
+        sy, sz = py // 2, pz // 2
+        compute_dtype = self.compute_dtype
+
+        def coset_counts(n):
+            return (n + 1) // 2, n // 2  # even-index count, odd-index count
+
+        ny_e, ny_o = coset_counts(ny)
+        nz_e, nz_o = coset_counts(nz)
+
+        def process_coset(acc, vol_slab, oy, cy, oz, cz, stacked_params):
+            """vol_slab (p0, Yp, Zp, C); coset with cy x cz tiles at offsets
+            (oy + 2*i*sy, oz + 2*j*sz). Returns acc with the coset added."""
+            region = jax.lax.slice(
+                vol_slab, (0, oy, oz, 0),
+                (p0, oy + cy * py, oz + cz * pz, in_channels))
+            tiles = region.reshape(p0, cy, py, cz, pz, in_channels)
+            tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
+                cy * cz, p0, py, pz, in_channels)
+            logits = forward(stacked_params, tiles.astype(compute_dtype))
+            gw = gaussian[None, ..., None]
+            contrib = jnp.concatenate(
+                [logits * gw, jnp.broadcast_to(gw, logits.shape[:-1] + (1,))],
+                axis=-1).astype(acc_dtype)
+            contrib = contrib.reshape(cy, cz, p0, py, pz, K + 1)
+            plane_block = contrib.transpose(2, 0, 3, 1, 4, 5).reshape(
+                p0, cy * py, cz * pz, K + 1)
+            return jax.lax.dynamic_update_slice(
+                acc, jax.lax.slice(
+                    acc, (0, oy, oz, 0),
+                    (p0, oy + cy * py, oz + cz * pz, K + 1)) + plane_block,
+                (0, oy, oz, 0))
+
+        def finalize_rows(acc, n_rows_static):
+            a = acc[:n_rows_static, ..., :K].astype(jnp.float32)
+            w = acc[:n_rows_static, ..., K:].astype(jnp.float32)
+            probs = jnp.where(w > 0, a / jnp.maximum(w, 1e-30), 0.0)
+            return probs.argmax(-1).astype(jnp.uint8)
+
+        @jax.jit
+        def sweep(stacked_params, vol):
+            acc0 = jnp.zeros((p0, *plane, K + 1), acc_dtype)
+            seg0 = jnp.zeros(vol_shape, jnp.uint8)
+
+            def chunk_body(carry, k):
+                acc, seg = carry
+                x0 = k * stride
+                vol_slab = jax.lax.dynamic_slice(
+                    vol, (x0, 0, 0, 0), (p0, *plane, in_channels))
+                for oy, cy in ((0, ny_e), (sy, ny_o)):
+                    for oz, cz in ((0, nz_e), (sz, nz_o)):
+                        if cy > 0 and cz > 0:
+                            acc = process_coset(acc, vol_slab, oy, cy, oz, cz,
+                                                stacked_params)
+                if stride > 0:
+                    rows = finalize_rows(acc, stride)
+                    seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+                    acc = jnp.concatenate(
+                        [acc[stride:],
+                         jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
+                return (acc, seg), None
+
+            (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
+                                         jnp.arange(n_chunks))
+            if tail_rows > 0:
+                rows = finalize_rows(acc, tail_rows)
+                seg = jax.lax.dynamic_update_slice(seg, rows,
+                                                   (n_chunks * stride, 0, 0))
+            return seg
+
+        self._jit_cache[key] = sweep
+        return sweep
+
+    def predict_segmentation_coset(self, params_list, volume: np.ndarray
+                                   ) -> np.ndarray:
+        """Coset-decomposed whole-volume argmax (requires tile_step_size == 0.5
+        and even patch dims — the bone_turbo deployment configuration)."""
+        assert self.tile_step_size == 0.5 and \
+            all(p % 2 == 0 for p in self.patch_size), \
+            "coset sweep requires step 0.5 and even patch dims"
+        if not isinstance(params_list, (list, tuple)):
+            params_list = [params_list]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+        n_folds = len(params_list)
+
+        spatial = volume.shape[1:]
+        p0, py, pz = self.patch_size
+        stride = p0 // 2
+        sy, sz = py // 2, pz // 2
+
+        x_tight = max(spatial[0], p0)
+        n_starts = int(np.ceil((x_tight - p0) / stride)) + 1
+        x_padded = (n_starts - 1) * stride + p0
+        tail_rows = p0 - stride if n_starts > 1 else p0
+        n_chunks = n_starts
+        if n_starts == 1:
+            stride, tail_rows = 0, p0
+
+        def grid_1d(extent, p, s):
+            tight = max(extent, p)
+            n = int(np.ceil((tight - p) / s)) + 1 if tight > p else 1
+            ce, co = (n + 1) // 2, n // 2
+            needed = max(ce * p, (s + co * p) if co else 0)
+            return n, needed
+
+        ny, y_needed = grid_1d(spatial[1], py, sy)
+        nz, z_needed = grid_1d(spatial[2], pz, sz)
+        plane = (max(y_needed, _round_up(max(spatial[1], py), self.shape_bucket)),
+                 max(z_needed, _round_up(max(spatial[2], pz), self.shape_bucket)))
+
+        np_dtype = jnp.bfloat16 if jnp.dtype(self.compute_dtype) == jnp.bfloat16 \
+            else np.dtype(jnp.dtype(self.compute_dtype).name)
+        vol = np.zeros((x_padded, *plane, volume.shape[0]), np.float32)
+        vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
+        vol = vol.astype(np_dtype)
+
+        sweep = self._build_coset_runner((x_padded, *plane), n_chunks, stride,
+                                         ny, nz, n_folds, volume.shape[0],
+                                         tail_rows)
+        seg = sweep(stacked, jnp.asarray(vol))
+        return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
+
     def predict_segmentation_sweep(self, params_list, volume: np.ndarray) -> np.ndarray:
         """Whole-volume argmax segmentation with the rolling-sweep runner.
 
@@ -497,11 +642,14 @@ class SlidingWindowEngine:
 
     # ------------------------------------------------------------------ conveniences
     def predict_segmentation(self, params_list, volume: np.ndarray) -> np.ndarray:
-        """Argmax segmentation. Uses the on-device rolling sweep when the
-        accumulator exceeds the memory budget (large volume x many classes),
-        otherwise the grid-exact logits path."""
+        """Argmax segmentation. Large volume x many classes dispatches to the
+        on-device rolling sweep (coset-decomposed when step 0.5 / even patches —
+        the fastest path); otherwise the grid-exact logits path."""
         spatial = volume.shape[1:]
         if self.dim == 3 and self._acc_bytes(spatial) > self.max_accumulator_bytes:
+            if self.tile_step_size == 0.5 and \
+                    all(p % 2 == 0 for p in self.patch_size):
+                return self.predict_segmentation_coset(params_list, volume)
             return self.predict_segmentation_sweep(params_list, volume)
         logits = self.predict_logits(params_list, volume)
         return logits.argmax(0)

@@ -160,3 +160,67 @@ def test_sweep_fold_ensembled(tiny_net_and_params):
     seg = eng.predict_segmentation_sweep([params, params2], vol)
     ref = eng.predict_logits([params, params2], vol).argmax(0)
     assert (seg == ref).mean() > 0.99
+
+
+def test_coset_sweep_matches_plain_sweep(tiny_net_and_params):
+    """Coset decomposition must reproduce the uniform-grid sweep exactly when
+    the grids coincide (vol 16^3, patch 8, step 0.5)."""
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(11).rand(1, 16, 16, 16).astype(np.float32)
+    seg_coset = eng.predict_segmentation_coset(params, vol)
+    seg_sweep = eng.predict_segmentation_sweep(params, vol)
+    np.testing.assert_array_equal(seg_coset, seg_sweep)
+
+
+def test_coset_sweep_odd_extents(tiny_net_and_params):
+    """Non-multiple extents exercise the padding/cropping paths; compare against
+    a naive python accumulation on the SAME uniform grid (the reference-spread
+    grid places tiles differently, which an untrained net amplifies)."""
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(12).rand(1, 21, 13, 18).astype(np.float32)
+    seg = eng.predict_segmentation_coset(params, vol)
+    assert seg.shape == (21, 13, 18)
+
+    p, s = 8, 4
+
+    def uniform_grid(extent):
+        tight = max(extent, p)
+        n = int(np.ceil((tight - p) / s)) + 1 if tight > p else 1
+        ce, co = (n + 1) // 2, n // 2
+        needed = max(ce * p, (s + co * p) if co else 0)
+        return [k * s for k in range(n)], needed
+
+    nx = int(np.ceil((21 - p) / s)) + 1
+    sx, xpad = [k * s for k in range(nx)], (nx - 1) * s + p
+    sy, ypad = uniform_grid(13)
+    sz, zpad = uniform_grid(18)
+    ypad, zpad = max(ypad, 16), max(zpad, 20)  # shape_bucket roundup of tight
+    volp = np.zeros((xpad, ypad, zpad, 1), np.float32)
+    volp[:21, :13, :18, 0] = vol[0]
+    g = compute_gaussian(PATCH).astype(np.float32)
+    acc = np.zeros((xpad, ypad, zpad, K), np.float32)
+    w = np.zeros((xpad, ypad, zpad, 1), np.float32)
+    for x0 in sx:
+        for y0 in sy:
+            for z0 in sz:
+                patch = volp[x0:x0 + p, y0:y0 + p, z0:z0 + p][None]
+                out = np.asarray(net.apply(params, jnp.asarray(patch),
+                                           deep_supervision=False))[0]
+                acc[x0:x0 + p, y0:y0 + p, z0:z0 + p] += out * g[..., None]
+                w[x0:x0 + p, y0:y0 + p, z0:z0 + p] += g[..., None]
+    ref = (acc / np.maximum(w, 1e-30)).argmax(-1)[:21, :13, :18]
+    np.testing.assert_array_equal(seg, ref)
+
+
+def test_coset_sweep_fold_ensembled(tiny_net_and_params):
+    net, params, params2 = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(13).rand(1, 16, 16, 16).astype(np.float32)
+    seg = eng.predict_segmentation_coset([params, params2], vol)
+    ref = eng.predict_segmentation_sweep([params, params2], vol)
+    np.testing.assert_array_equal(seg, ref)
