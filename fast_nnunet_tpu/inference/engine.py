@@ -473,11 +473,28 @@ class SlidingWindowEngine:
             tiles = region.reshape(p0, cy, py, cz, pz, in_channels)
             tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
                 cy * cz, p0, py, pz, in_channels)
-            logits = forward(stacked_params, tiles.astype(compute_dtype))
+            # sub-batch the forward so full-res decoder temps stay tile_batch-
+            # sized (a whole coset at once OOMs: lane-padded bf16 feature maps)
+            n_tiles = cy * cz
+            B = min(self.tile_batch, n_tiles)
+            G = -(-n_tiles // B)
+            pad = G * B - n_tiles
+            if pad:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)], 0)
+            tiles = tiles.reshape(G, B, p0, py, pz, in_channels)
             gw = gaussian[None, ..., None]
-            contrib = jnp.concatenate(
-                [logits * gw, jnp.broadcast_to(gw, logits.shape[:-1] + (1,))],
-                axis=-1).astype(acc_dtype)
+
+            def group_body(_, tb):
+                logits = forward(stacked_params, tb.astype(compute_dtype))
+                c = jnp.concatenate(
+                    [logits * gw,
+                     jnp.broadcast_to(gw, logits.shape[:-1] + (1,))],
+                    axis=-1).astype(acc_dtype)
+                return None, c
+
+            _, contrib = jax.lax.scan(group_body, None, tiles)
+            contrib = contrib.reshape(G * B, p0, py, pz, K + 1)[:n_tiles]
             contrib = contrib.reshape(cy, cz, p0, py, pz, K + 1)
             plane_block = contrib.transpose(2, 0, 3, 1, 4, 5).reshape(
                 p0, cy * py, cz * pz, K + 1)
@@ -508,6 +525,11 @@ class SlidingWindowEngine:
                         if cy > 0 and cz > 0:
                             acc = process_coset(acc, vol_slab, oy, cy, oz, cz,
                                                 stacked_params)
+                            # serialize cosets: without this barrier XLA hoists
+                            # all cosets' plane blocks (~2.7G each) before the
+                            # adds and OOMs HBM
+                            acc, vol_slab = jax.lax.optimization_barrier(
+                                (acc, vol_slab))
                 if stride > 0:
                     rows = finalize_rows(acc, stride)
                     seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
