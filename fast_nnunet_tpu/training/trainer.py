@@ -396,13 +396,14 @@ class NNUNetTrainer:
         save_checkpoint(
             filename,
             network_weights=self.train_state.params,
-            optimizer_state=None,  # optax state trees are rebuildable; epoch resume
+            optimizer_state=jax.device_get(self.train_state.opt_state),
             current_epoch=self.current_epoch,
             logging=self.logger.get_checkpoint(),
             best_ema=self._best_ema,
             init_args=self._init_args(),
             trainer_name=self.__class__.__name__,
-            inference_allowed_mirroring_axes=self.inference_allowed_mirroring_axes)
+            inference_allowed_mirroring_axes=self.inference_allowed_mirroring_axes,
+            extras={"train_step": int(jax.device_get(self.train_state.step))})
 
     def load_checkpoint(self, filename_or_checkpoint: Union[str, dict]) -> None:
         if not self.was_initialized:
@@ -413,8 +414,16 @@ class NNUNetTrainer:
         params = restore_params(jax.device_get(self.train_state.params),
                                 ckpt["network_weights"])
         params = replicate(self.mesh, params)
-        self.train_state = TrainState(step=self.train_state.step, params=params,
-                                      opt_state=self.train_state.opt_state)
+        opt_state = self.train_state.opt_state
+        if ckpt.get("optimizer_state") is not None:
+            # resume keeps SGD momentum (ref nnUNetTrainer.py:1186-1207 restores
+            # optimizer.state_dict()); older checkpoints saved None -> fresh state
+            opt_state = replicate(self.mesh, restore_params(
+                jax.device_get(opt_state), ckpt["optimizer_state"]))
+        step = jnp.asarray(ckpt.get("train_step", self.train_state.step),
+                           jnp.int32)
+        self.train_state = TrainState(step=step, params=params,
+                                      opt_state=opt_state)
         self.current_epoch = ckpt.get("current_epoch", 0)
         self._best_ema = ckpt.get("_best_ema")
         if ckpt.get("logging") is not None:

@@ -57,6 +57,20 @@ def test_training_e2e(trained_env):
     assert t2.current_epoch == 2
     assert t2._best_ema is not None
 
+    # optimizer state resumed: SGD momentum trace is nonzero and matches the
+    # saved trainer's, and the step counter carried over (momentum-true resume)
+    import jax
+    saved_tr = jax.device_get(trainer.train_state.opt_state)
+    loaded_tr = jax.device_get(t2.train_state.opt_state)
+    leaves_s = jax.tree_util.tree_leaves(saved_tr)
+    leaves_l = jax.tree_util.tree_leaves(loaded_tr)
+    assert len(leaves_s) == len(leaves_l)
+    assert any(np.any(np.asarray(x) != 0) for x in leaves_l)
+    for a, b in zip(leaves_s, leaves_l):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(jax.device_get(t2.train_state.step)) == \
+        int(jax.device_get(trainer.train_state.step)) > 0
+
     # final validation produces a summary.json with finite metrics
     metrics = t2.perform_actual_validation()
     assert isfile(join(t2.output_folder, "validation", "summary.json"))
