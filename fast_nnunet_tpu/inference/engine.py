@@ -387,10 +387,12 @@ class SlidingWindowEngine:
         plane = vol_shape[1:]  # (Yp, Zp)
 
         def finalize_rows(acc, wsum, n_rows_static):
-            a = acc[:n_rows_static].astype(jnp.float32)
-            w = wsum[:n_rows_static].astype(jnp.float32)
-            probs = jnp.where(w > 0, a / jnp.maximum(w, 1e-30), 0.0)
-            return probs.argmax(-1).astype(jnp.uint8)
+            # argmax(a / w) == argmax(a): w is a positive per-voxel scalar
+            # shared across classes (w == 0 rows are all-zero -> class 0 either
+            # way). The divide materialized a full fp32 probs tensor (+ layout
+            # copy) in HBM for nothing.
+            del wsum
+            return acc[:n_rows_static].argmax(-1).astype(jnp.uint8)
 
         C_acc = self._acc_channels() if use_pallas else self.num_classes + 1
 
@@ -505,10 +507,8 @@ class SlidingWindowEngine:
                 (0, oy, oz, 0))
 
         def finalize_rows(acc, n_rows_static):
-            a = acc[:n_rows_static, ..., :K].astype(jnp.float32)
-            w = acc[:n_rows_static, ..., K:].astype(jnp.float32)
-            probs = jnp.where(w > 0, a / jnp.maximum(w, 1e-30), 0.0)
-            return probs.argmax(-1).astype(jnp.uint8)
+            # argmax(a / w) == argmax(a) — see the sweep runner's finalize_rows
+            return acc[:n_rows_static, ..., :K].argmax(-1).astype(jnp.uint8)
 
         @jax.jit
         def sweep(stacked_params, vol):

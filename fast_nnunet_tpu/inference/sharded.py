@@ -126,10 +126,9 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
             keep = (idx > 0).astype(acc.dtype)
             acc = acc.at[:halo].add(tail * keep)
 
-        a32 = acc[:owned, ..., :K].astype(jnp.float32)
-        w32 = acc[:owned, ..., K:].astype(jnp.float32)
-        probs = jnp.where(w32 > 0, a32 / jnp.maximum(w32, 1e-30), 0.0)
-        seg = probs.argmax(-1).astype(jnp.uint8)
+        # argmax(a / w) == argmax(a): the weight sum is a positive per-voxel
+        # scalar shared across classes, so skip the fp32 divide entirely
+        seg = acc[:owned, ..., :K].argmax(-1).astype(jnp.uint8)
         return seg[None]  # re-add the sharded leading axis
 
     run = jax.jit(jax.shard_map(
