@@ -466,9 +466,11 @@ class SlidingWindowEngine:
         ny_e, ny_o = coset_counts(ny)
         nz_e, nz_o = coset_counts(nz)
 
-        def process_coset(acc, vol_slab, oy, cy, oz, cz, stacked_params):
+        def process_coset(accs, vol_slab, oy, cy, oz, cz, stacked_params):
             """vol_slab (p0, Yp, Zp, C); coset with cy x cz tiles at offsets
-            (oy + 2*i*sy, oz + 2*j*sz). Returns acc with the coset added."""
+            (oy + 2*i*sy, oz + 2*j*sz). accs is a tuple of x-row half-buffers
+            (covering rows [0:stride) and [stride:p0), or a single (p0,...)
+            buffer for stride==0); returns them with the coset added."""
             region = jax.lax.slice(
                 vol_slab, (0, oy, oz, 0),
                 (p0, oy + cy * py, oz + cz * pz, in_channels))
@@ -500,51 +502,69 @@ class SlidingWindowEngine:
             contrib = contrib.reshape(cy, cz, p0, py, pz, K + 1)
             plane_block = contrib.transpose(2, 0, 3, 1, 4, 5).reshape(
                 p0, cy * py, cz * pz, K + 1)
-            return jax.lax.dynamic_update_slice(
-                acc, jax.lax.slice(
-                    acc, (0, oy, oz, 0),
-                    (p0, oy + cy * py, oz + cz * pz, K + 1)) + plane_block,
-                (0, oy, oz, 0))
+
+            def add_to(acc, block):
+                rows = block.shape[0]
+                return jax.lax.dynamic_update_slice(
+                    acc, jax.lax.slice(
+                        acc, (0, oy, oz, 0),
+                        (rows, oy + cy * py, oz + cz * pz, K + 1)) + block,
+                    (0, oy, oz, 0))
+
+            if len(accs) == 1:
+                return (add_to(accs[0], plane_block),)
+            return (add_to(accs[0], plane_block[:stride]),
+                    add_to(accs[1], plane_block[stride:]))
 
         def finalize_rows(acc, n_rows_static):
             # argmax(a / w) == argmax(a) — see the sweep runner's finalize_rows
             return acc[:n_rows_static, ..., :K].argmax(-1).astype(jnp.uint8)
 
+        def run_cosets(accs, vol_slab, stacked_params):
+            for oy, cy in ((0, ny_e), (sy, ny_o)):
+                for oz, cz in ((0, nz_e), (sz, nz_o)):
+                    if cy > 0 and cz > 0:
+                        accs = process_coset(accs, vol_slab, oy, cy, oz, cz,
+                                             stacked_params)
+                        # serialize cosets: without this barrier XLA hoists
+                        # all cosets' plane blocks (~2.7G each) before the
+                        # adds and OOMs HBM
+                        *accs, vol_slab = jax.lax.optimization_barrier(
+                            (*accs, vol_slab))
+                        accs = tuple(accs)
+            return accs
+
         @jax.jit
         def sweep(stacked_params, vol):
-            acc0 = jnp.zeros((p0, *plane, K + 1), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
+            if stride == 0:  # single chunk: one full-depth buffer, no rolling
+                accs = (jnp.zeros((p0, *plane, K + 1), acc_dtype),)
+                accs = run_cosets(accs, vol[:p0], stacked_params)
+                rows = finalize_rows(accs[0], tail_rows)
+                return jax.lax.dynamic_update_slice(seg0, rows, (0, 0, 0))
+
+            # stride == p0 // 2: the rolling accumulator is two half-depth
+            # buffers, so the per-chunk roll is a carry swap (lo <- hi,
+            # hi <- 0) instead of a slice+pad of the full buffer (which
+            # doubled accumulator HBM and OOM'd at 512^3 x 61 classes)
+            half = jnp.zeros((stride, *plane, K + 1), acc_dtype)
 
             def chunk_body(carry, k):
-                acc, seg = carry
+                acc_lo, acc_hi, seg = carry
                 x0 = k * stride
                 vol_slab = jax.lax.dynamic_slice(
                     vol, (x0, 0, 0, 0), (p0, *plane, in_channels))
-                for oy, cy in ((0, ny_e), (sy, ny_o)):
-                    for oz, cz in ((0, nz_e), (sz, nz_o)):
-                        if cy > 0 and cz > 0:
-                            acc = process_coset(acc, vol_slab, oy, cy, oz, cz,
-                                                stacked_params)
-                            # serialize cosets: without this barrier XLA hoists
-                            # all cosets' plane blocks (~2.7G each) before the
-                            # adds and OOMs HBM
-                            acc, vol_slab = jax.lax.optimization_barrier(
-                                (acc, vol_slab))
-                if stride > 0:
-                    rows = finalize_rows(acc, stride)
-                    seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
-                    acc = jnp.concatenate(
-                        [acc[stride:],
-                         jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
-                return (acc, seg), None
+                acc_lo, acc_hi = run_cosets((acc_lo, acc_hi), vol_slab,
+                                            stacked_params)
+                rows = finalize_rows(acc_lo, stride)
+                seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+                return (acc_hi, jnp.zeros_like(acc_hi), seg), None
 
-            (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
-                                         jnp.arange(n_chunks))
-            if tail_rows > 0:
-                rows = finalize_rows(acc, tail_rows)
-                seg = jax.lax.dynamic_update_slice(seg, rows,
-                                                   (n_chunks * stride, 0, 0))
-            return seg
+            (acc_lo, _, seg), _ = jax.lax.scan(chunk_body, (half, half, seg0),
+                                               jnp.arange(n_chunks))
+            rows = finalize_rows(acc_lo, tail_rows)
+            return jax.lax.dynamic_update_slice(seg, rows,
+                                                (n_chunks * stride, 0, 0))
 
         self._jit_cache[key] = sweep
         return sweep
