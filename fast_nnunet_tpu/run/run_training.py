@@ -6,6 +6,8 @@ import argparse
 import importlib
 from typing import Optional, Union
 
+import jax
+
 from ..training.trainer import NNUNetTrainer
 from ..utils.io import isfile, join, load_json
 from ..utils.misc import maybe_convert_to_dataset_name
@@ -70,9 +72,47 @@ def maybe_load_checkpoint(trainer: NNUNetTrainer, continue_training: bool,
     trainer.load_checkpoint(expected)
 
 
+def load_pretrained_weights(trainer: NNUNetTrainer, fname: str,
+                            verbose: bool = False) -> None:
+    """Transfer weights from a pretrained checkpoint before training: matching
+    is by (translated) name + shape and segmentation heads are skipped, like
+    the reference (run/load_pretrained_weights.py:7-69). Accepts both torch
+    .pth checkpoints (translated via utils.torch_import) and our .fnnx."""
+    from ..parallel.mesh import replicate
+    from ..training.checkpoint import load_checkpoint as load_fnnx
+    from ..training.checkpoint import restore_params_partial
+    from ..training.train_step import TrainState
+
+    if not trainer.was_initialized:
+        trainer.initialize()
+    template = jax.device_get(trainer.train_state.params)
+    if fname.endswith((".fnnx", ".pkl")):
+        ckpt = load_fnnx(fname)
+        params, n_loaded, n_total = restore_params_partial(
+            template, ckpt["network_weights"])
+        print(f"Pretrained weights: {n_loaded}/{n_total} tensors matched")
+    else:
+        from ..utils.torch_import import (import_torch_weights,
+                                          load_torch_network_weights)
+        sd = load_torch_network_weights(fname)
+        params, report = import_torch_weights(template, sd,
+                                              skip_seg_layers=True)
+        print(f"Pretrained torch weights: {len(report['converted'])} converted, "
+              f"{len(report['skipped_seg'])} seg layers skipped, "
+              f"{len(report['unmatched'])} unmatched, "
+              f"{len(report['shape_mismatch'])} shape mismatches")
+        if verbose and report["unmatched"]:
+            print("unmatched:", report["unmatched"])
+    trainer.train_state = TrainState(
+        step=trainer.train_state.step,
+        params=replicate(trainer.mesh, params),
+        opt_state=trainer.train_state.opt_state)
+
+
 def run_training(dataset_name_or_id, configuration: str, fold,
                  trainer_name: str = "NNUNetTrainer",
                  plans_identifier: str = "nnUNetPlans",
+                 pretrained_weights: str = None,
                  continue_training: bool = False,
                  only_run_validation: bool = False,
                  disable_checkpointing: bool = False,
@@ -83,6 +123,11 @@ def run_training(dataset_name_or_id, configuration: str, fold,
     trainer = get_trainer_from_args(dataset_name_or_id, configuration, fold,
                                     trainer_name, plans_identifier,
                                     **trainer_kwargs)
+    if pretrained_weights is not None:
+        if continue_training:
+            raise RuntimeError("-pretrained_weights and --c are mutually "
+                               "exclusive (same as the reference CLI)")
+        load_pretrained_weights(trainer, pretrained_weights)
     maybe_load_checkpoint(trainer, continue_training, only_run_validation)
     if not only_run_validation:
         trainer.run_training()
@@ -97,6 +142,10 @@ def run_training_entry():
     parser.add_argument("fold", help="0..4 or 'all'")
     parser.add_argument("-tr", default="NNUNetTrainer")
     parser.add_argument("-p", default="nnUNetPlans")
+    parser.add_argument("-pretrained_weights", default=None,
+                        help="checkpoint to transfer weights from before "
+                             "training (torch .pth or our .fnnx); seg heads "
+                             "are skipped for .pth")
     parser.add_argument("--c", action="store_true", dest="continue_training")
     parser.add_argument("--val", action="store_true", dest="validation_only")
     parser.add_argument("--npz", action="store_true",
@@ -107,6 +156,7 @@ def run_training_entry():
     args = parser.parse_args()
     run_training(args.dataset_name_or_id, args.configuration, args.fold,
                  trainer_name=args.tr, plans_identifier=args.p,
+                 pretrained_weights=args.pretrained_weights,
                  continue_training=args.continue_training,
                  only_run_validation=args.validation_only,
                  export_validation_probabilities=args.npz)
