@@ -63,7 +63,8 @@ def main():
         sweep_acc_dtype=jnp.bfloat16,
         shape_bucket=32, tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
         max_accumulator_bytes=4 * 1024 ** 3,
-        use_pallas_accumulate=os.environ.get("BENCH_PALLAS_ACC", "0") == "1")
+        use_pallas_accumulate=os.environ.get("BENCH_PALLAS_ACC", "0") == "1",
+        use_coset_sweep=os.environ.get("BENCH_COSET", "0") == "1")
 
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2

@@ -78,7 +78,8 @@ class SlidingWindowEngine:
                  shape_bucket: int = 32,
                  tile_batch: int = 8,
                  max_accumulator_bytes: int = 4 * 1024 ** 3,
-                 use_pallas_accumulate: bool = False):
+                 use_pallas_accumulate: bool = False,
+                 use_coset_sweep: bool = False):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
@@ -99,6 +100,10 @@ class SlidingWindowEngine:
         # accumulator is lane-padded on the Pallas path (the VMEM layout pads
         # to 128 lanes either way; this makes the HBM layout match it).
         self.use_pallas_accumulate = use_pallas_accumulate
+        # opt-in: dispatch predict_segmentation to the coset sweep (step 0.5,
+        # even patches). Kept off by default until its HBM layout behavior at
+        # 512^3 x 61 classes is confirmed on hardware (see docs/Performance.md)
+        self.use_coset_sweep = use_coset_sweep
         self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
 
         if self.use_gaussian:
@@ -500,16 +505,19 @@ class SlidingWindowEngine:
             _, contrib = jax.lax.scan(group_body, None, tiles)
             contrib = contrib.reshape(G * B, p0, py, pz, K + 1)[:n_tiles]
             contrib = contrib.reshape(cy, cz, p0, py, pz, K + 1)
-            plane_block = contrib.transpose(2, 0, 3, 1, 4, 5).reshape(
-                p0, cy * py, cz * pz, K + 1)
+            # acc layout is (x, C, Y, Z): with Z minor the TPU lane padding is
+            # Zp->ceil(Zp/128)*128 (~1.1x) instead of 2-2.7x for channel- or
+            # x-minor layouts (measured: both OOM'd HBM at 512^3 x 61 classes)
+            plane_block = contrib.transpose(2, 5, 0, 3, 1, 4).reshape(
+                p0, K + 1, cy * py, cz * pz)
 
             def add_to(acc, block):
                 rows = block.shape[0]
                 return jax.lax.dynamic_update_slice(
                     acc, jax.lax.slice(
-                        acc, (0, oy, oz, 0),
-                        (rows, oy + cy * py, oz + cz * pz, K + 1)) + block,
-                    (0, oy, oz, 0))
+                        acc, (0, 0, oy, oz),
+                        (rows, K + 1, oy + cy * py, oz + cz * pz)) + block,
+                    (0, 0, oy, oz))
 
             if len(accs) == 1:
                 return (add_to(accs[0], plane_block),)
@@ -517,8 +525,9 @@ class SlidingWindowEngine:
                     add_to(accs[1], plane_block[stride:]))
 
         def finalize_rows(acc, n_rows_static):
-            # argmax(a / w) == argmax(a) — see the sweep runner's finalize_rows
-            return acc[:n_rows_static, ..., :K].argmax(-1).astype(jnp.uint8)
+            # argmax(a / w) == argmax(a) — see the sweep runner's finalize_rows.
+            # acc is (rows, K+1, Yp, Zp); reduce the channel dim.
+            return acc[:n_rows_static, :K].argmax(1).astype(jnp.uint8)
 
         def run_cosets(accs, vol_slab, stacked_params):
             for oy, cy in ((0, ny_e), (sy, ny_o)):
@@ -538,7 +547,7 @@ class SlidingWindowEngine:
         def sweep(stacked_params, vol):
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
             if stride == 0:  # single chunk: one full-depth buffer, no rolling
-                accs = (jnp.zeros((p0, *plane, K + 1), acc_dtype),)
+                accs = (jnp.zeros((p0, K + 1, *plane), acc_dtype),)
                 accs = run_cosets(accs, vol[:p0], stacked_params)
                 rows = finalize_rows(accs[0], tail_rows)
                 return jax.lax.dynamic_update_slice(seg0, rows, (0, 0, 0))
@@ -547,7 +556,7 @@ class SlidingWindowEngine:
             # buffers, so the per-chunk roll is a carry swap (lo <- hi,
             # hi <- 0) instead of a slice+pad of the full buffer (which
             # doubled accumulator HBM and OOM'd at 512^3 x 61 classes)
-            half = jnp.zeros((stride, *plane, K + 1), acc_dtype)
+            half = jnp.zeros((stride, K + 1, *plane), acc_dtype)
 
             def chunk_body(carry, k):
                 acc_lo, acc_hi, seg = carry
@@ -689,7 +698,7 @@ class SlidingWindowEngine:
         the fastest path); otherwise the grid-exact logits path."""
         spatial = volume.shape[1:]
         if self.dim == 3 and self._acc_bytes(spatial) > self.max_accumulator_bytes:
-            if self.tile_step_size == 0.5 and \
+            if self.use_coset_sweep and self.tile_step_size == 0.5 and \
                     all(p % 2 == 0 for p in self.patch_size):
                 return self.predict_segmentation_coset(params_list, volume)
             return self.predict_segmentation_sweep(params_list, volume)
