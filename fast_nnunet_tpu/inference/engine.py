@@ -482,10 +482,13 @@ class SlidingWindowEngine:
             tiles = region.reshape(p0, cy, py, cz, pz, in_channels)
             tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
                 cy * cz, p0, py, pz, in_channels)
-            # sub-batch the forward so full-res decoder temps stay tile_batch-
-            # sized (a whole coset at once OOMs: lane-padded bf16 feature maps)
+            # sub-batch the forward with a hard cap of 4: the full-res decoder
+            # feature maps lane-pad 16->128 channels (8x HBM), and XLA keeps
+            # ~3 remat copies alive — at B=8 that is 2.8G each and OOMs the
+            # 512^3 x 61-class sweep; B=4 halves it (conv cost per tile is
+            # nearly flat in B at these widths, see docs/Performance.md)
             n_tiles = cy * cz
-            B = min(self.tile_batch, n_tiles)
+            B = min(self.tile_batch, 4, n_tiles)
             G = -(-n_tiles // B)
             pad = G * B - n_tiles
             if pad:
