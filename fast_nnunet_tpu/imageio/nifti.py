@@ -234,3 +234,106 @@ class SimpleITKIO(NiftiIO):
 
 class NibabelIO(NiftiIO):
     pass
+
+
+# ------------------------------------------------------------- RAS reorient
+def io_orientation(affine: np.ndarray):
+    """For each voxel axis (disk order i, j, k), the closest world axis and its
+    sign — the nibabel io_orientation contract (ref imageio/nibabel_reader_writer.py
+    NibabelIOWithReorient canonicalizes with nib.as_closest_canonical)."""
+    R = np.asarray(affine, np.float64)[:3, :3]
+    ornt = []
+    used = set()
+    for j in range(3):
+        col = R[:, j]
+        for ax in np.argsort(-np.abs(col)):
+            if int(ax) not in used:
+                break
+        used.add(int(ax))
+        ornt.append((int(ax), 1.0 if col[int(ax)] >= 0 else -1.0))
+    return ornt
+
+
+def apply_orientation(arr: np.ndarray, ornt) -> np.ndarray:
+    """Disk-order (i, j, k) array -> RAS-ordered (r, a, s) array."""
+    perm = [0, 0, 0]
+    for j, (ax, _) in enumerate(ornt):
+        perm[ax] = j
+    out = np.transpose(arr, perm)
+    for a in range(3):
+        if ornt[perm[a]][1] < 0:
+            out = np.flip(out, axis=a)
+    return out
+
+
+def invert_orientation(arr: np.ndarray, ornt) -> np.ndarray:
+    """RAS-ordered array -> original disk order (exact inverse of
+    apply_orientation)."""
+    perm = [0, 0, 0]
+    for j, (ax, _) in enumerate(ornt):
+        perm[ax] = j
+    for a in range(3):
+        if ornt[perm[a]][1] < 0:
+            arr = np.flip(arr, axis=a)
+    return np.transpose(arr, np.argsort(perm))
+
+
+class NiftiIOWithReorient(NiftiIO):
+    """Reads with reorientation to closest-canonical RAS (so mixed-orientation
+    datasets align anatomically) and restores the original orientation +
+    header on write — the role of the reference's NibabelIOWithReorient /
+    SimpleITKIOWithReorient readers."""
+
+    def read_images(self, image_fnames: Sequence[str]) -> Tuple[np.ndarray, dict]:
+        images, spacings, headers, ornts = [], [], [], []
+        for f in image_fnames:
+            data, hdr = read_nifti(f)
+            if data.ndim != 3:
+                # 2D/4D: no orientation handling needed/defined; plain path
+                return NiftiIO.read_images(self, image_fnames)
+            ornt = io_orientation(_affine_from_header(hdr))
+            ras = apply_orientation(data, ornt)
+            images.append(ras.transpose(2, 1, 0))  # internal (S, A, R)
+            perm = [0, 0, 0]
+            for j, (ax, _) in enumerate(ornt):
+                perm[ax] = j
+            sp_ras = [abs(hdr["pixdim"][1 + perm[a]]) or 1.0 for a in range(3)]
+            spacings.append(sp_ras[::-1])
+            headers.append(hdr)
+            ornts.append(ornt)
+
+        if not self._check_all_same([i.shape for i in images]):
+            raise RuntimeError(f"Image channels have mismatched shapes after "
+                               f"reorientation: {[i.shape for i in images]} "
+                               f"({image_fnames})")
+        if not self._check_all_same(spacings):
+            raise RuntimeError(f"Image channels have mismatched spacings: {spacings}")
+        data = np.stack(images).astype(np.float32)
+        props = {
+            "spacing": list(spacings[0]),
+            "nifti_header": headers[0],
+            "affine": _affine_from_header(headers[0]).tolist(),
+            "reorientation": [list(o) for o in ornts[0]],
+        }
+        return data, props
+
+    def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict) -> None:
+        ornt = properties.get("reorientation")
+        if ornt is None:
+            return NiftiIO.write_seg(self, seg, output_fname, properties)
+        ornt = [(int(a), float(s)) for a, s in ornt]
+        ras = seg.transpose(2, 1, 0)  # internal (S, A, R) -> (R, A, S)
+        disk = invert_orientation(ras, ornt)
+        hdr = dict(properties["nifti_header"])
+        hdr["dim"] = [3] + list(disk.shape) + [1, 1, 1, 1]
+        dtype = np.uint8 if seg.max() < 255 else np.uint16
+        write_nifti(output_fname, np.ascontiguousarray(disk).astype(dtype),
+                    header=hdr)
+
+
+class SimpleITKIOWithReorient(NiftiIOWithReorient):
+    pass
+
+
+class NibabelIOWithReorient(NiftiIOWithReorient):
+    pass

@@ -4,18 +4,16 @@ from typing import Optional, Type
 
 from .base import BaseReaderWriter
 from .natural_image import NaturalImage2DIO
-from .nifti import NibabelIO, NiftiIO, SimpleITKIO
+from .nifti import (NibabelIO, NibabelIOWithReorient, NiftiIO,
+                    NiftiIOWithReorient, SimpleITKIO, SimpleITKIOWithReorient)
 from .nrrd import NrrdIO
 from .mha import MhaIO
 from .tiff import Tiff3DIO
 
-_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NaturalImage2DIO, NrrdIO, MhaIO, Tiff3DIO]
+_ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NiftiIOWithReorient,
+           SimpleITKIOWithReorient, NibabelIOWithReorient, NaturalImage2DIO,
+           NrrdIO, MhaIO, Tiff3DIO]
 _BY_NAME = {cls.__name__: cls for cls in _ALL_RW}
-# names that appear in reference-produced plans/dataset jsons
-_BY_NAME.update({
-    "SimpleITKIOWithReorient": SimpleITKIO,
-    "NibabelIOWithReorient": NibabelIO,
-})
 
 
 def find_reader_writer_by_name(name: str) -> Type[BaseReaderWriter]:

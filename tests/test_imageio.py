@@ -157,3 +157,62 @@ def test_tiff3d_roundtrip(tmp_path):
     assert arr.shape == (1, 5, 8, 9)
     np.testing.assert_array_equal(arr[0].astype(np.uint8), vol)
     assert props["spacing"] == [2.0, 1.0, 1.0]
+
+
+def test_reorient_io_ras_and_restore(tmp_path):
+    """A volume saved in a flipped/permuted orientation must read identically
+    (in RAS) to its identity-affine twin, and seg write-back must restore the
+    original disk layout + header."""
+    from fast_nnunet_tpu.imageio.nifti import (NiftiIOWithReorient,
+                                               apply_orientation,
+                                               invert_orientation,
+                                               io_orientation)
+
+    rng = np.random.RandomState(0)
+    vol_ras = rng.rand(5, 6, 7).astype(np.float32)  # disk (i,j,k) = RAS
+
+    # identity-affine file
+    f_ras = str(tmp_path / "ras.nii.gz")
+    write_nifti(f_ras, vol_ras, spacing=(1.0, 2.0, 3.0))
+
+    # the same anatomy stored PSL-ish: permute (k,j,i) and flip two axes;
+    # affine must map that disk layout back to the same world coordinates
+    disk = np.transpose(vol_ras, (2, 1, 0))[::-1, :, ::-1]
+    hdr = read_nifti(f_ras)[1]
+    hdr = dict(hdr)
+    hdr["dim"] = [3] + list(disk.shape) + [1, 1, 1, 1]
+    hdr["pixdim"] = [1.0, 3.0, 2.0, 1.0, 1, 1, 1, 1]
+    hdr["sform_code"] = 1
+    # disk axis 0 = -S (flip of world z), axis 1 = +A, axis 2 = -R
+    hdr["srow_x"] = [0, 0, -1.0, 0]
+    hdr["srow_y"] = [0, 2.0, 0, 0]
+    hdr["srow_z"] = [-3.0, 0, 0, 0]
+    f_rot = str(tmp_path / "rot.nii.gz")
+    write_nifti(f_rot, np.ascontiguousarray(disk), header=hdr)
+
+    io = NiftiIOWithReorient()
+    d_ras, p_ras = io.read_images([f_ras])
+    d_rot, p_rot = io.read_images([f_rot])
+    np.testing.assert_array_equal(d_ras[0], d_rot[0])
+    assert p_ras["spacing"] == p_rot["spacing"] == [3.0, 2.0, 1.0]
+
+    # orientation helpers are exact inverses
+    ornt = io_orientation(np.array(p_rot["affine"]))
+    arr = rng.rand(4, 5, 6)
+    np.testing.assert_array_equal(invert_orientation(apply_orientation(arr, ornt), ornt), arr)
+
+    # seg write-back restores the on-disk layout of the rotated file
+    seg = (d_rot[0] > 0.5).astype(np.uint8)
+    f_seg = str(tmp_path / "seg.nii.gz")
+    io.write_seg(seg, f_seg, p_rot)
+    seg_disk, seg_hdr = read_nifti(f_seg)
+    expected_disk = np.transpose((vol_ras > 0.5), (2, 1, 0))[::-1, :, ::-1]
+    np.testing.assert_array_equal(seg_disk, expected_disk.astype(np.uint8))
+    assert list(seg_hdr["srow_x"]) == [0, 0, -1.0, 0]
+
+    # registry resolves the reference names to the real reorienting class
+    from fast_nnunet_tpu.imageio.registry import find_reader_writer_by_name
+    assert issubclass(find_reader_writer_by_name("NibabelIOWithReorient"),
+                      NiftiIOWithReorient)
+    assert issubclass(find_reader_writer_by_name("SimpleITKIOWithReorient"),
+                      NiftiIOWithReorient)
