@@ -538,12 +538,17 @@ class SlidingWindowEngine:
                     if cy > 0 and cz > 0:
                         accs = process_coset(accs, vol_slab, oy, cy, oz, cz,
                                              stacked_params)
-                        # serialize cosets: without this barrier XLA hoists
-                        # all cosets' plane blocks (~2.7G each) before the
-                        # adds and OOMs HBM
-                        *accs, vol_slab = jax.lax.optimization_barrier(
-                            (*accs, vol_slab))
-                        accs = tuple(accs)
+                        # serialize cosets (without this XLA hoists all
+                        # cosets' plane blocks before the adds and OOMs), but
+                        # only a SCALAR token crosses the barrier: passing the
+                        # accumulator halves themselves pinned them across the
+                        # barrier and XLA remat-compressed them into x-minor
+                        # copies (+2.7G each at 512^3 x 61 classes)
+                        tok = sum(
+                            jax.lax.slice(a, (0,) * a.ndim, (1,) * a.ndim)
+                            for a in accs)
+                        _, vol_slab = jax.lax.optimization_barrier(
+                            (tok, vol_slab))
             return accs
 
         @jax.jit

@@ -181,14 +181,27 @@ class NNUNetTrainerAdamW(NNUNetTrainer):
 
 
 class NNUNetTrainer_warmup(NNUNetTrainer):
-    """Linear warmup then poly decay (ref variants/lr_schedule +
-    nnUNetTrainer_warmup.py)."""
+    """Linear warmup then poly decay (ref variants/lr_schedule/
+    nnUNetTrainer_warmup.py:13-77: warmup_all stage with Lin_incr LR, then
+    the poly-offset schedule reusing the same SGD so momentum carries over —
+    a single optax chain with a piecewise schedule is exactly that)."""
     warmup_epochs = 50
 
     def configure_optimizer(self, total_steps: int):
         warmup_steps = self.warmup_epochs * self.num_iterations_per_epoch
         return nnunet_sgd(linear_warmup_poly(self.initial_lr, total_steps,
                                              warmup_steps),
+                          momentum=0.99, weight_decay=self.weight_decay,
+                          nesterov=True, grad_clip=12.0)
+
+
+class NNUNetTrainerCosAnneal(NNUNetTrainer):
+    """Cosine-annealed SGD over num_epochs (ref variants/lr_schedule/
+    nnUNetTrainerCosAnneal.py:7-13; no warmup, T_max = num_epochs)."""
+
+    def configure_optimizer(self, total_steps: int):
+        from .schedules import linear_warmup_cosine
+        return nnunet_sgd(linear_warmup_cosine(self.initial_lr, total_steps, 0),
                           momentum=0.99, weight_decay=self.weight_decay,
                           nesterov=True, grad_clip=12.0)
 
