@@ -471,55 +471,81 @@ class SlidingWindowEngine:
         ny_e, ny_o = coset_counts(ny)
         nz_e, nz_o = coset_counts(nz)
 
-        def process_coset(accs, vol_slab, oy, cy, oz, cz, stacked_params):
-            """vol_slab (p0, Yp, Zp, C); coset with cy x cz tiles at offsets
-            (oy + 2*i*sy, oz + 2*j*sz). accs is a tuple of x-row half-buffers
-            (covering rows [0:stride) and [stride:p0), or a single (p0,...)
-            buffer for stride==0); returns them with the coset added."""
-            region = jax.lax.slice(
+        # Cosets run under a lax.scan with UNIFORM padded tile counts
+        # (cy_m x cz_m): the loop-carried accumulator serializes them by
+        # construction, bounding liveness to ONE coset's buffers. (Python-
+        # unrolled cosets let XLA hoist all four 3.4G contribs concurrently;
+        # full-buffer barriers pinned remat-compressed x-minor acc copies and
+        # scalar-token barriers were DCE'd — all three OOM'd at 512^3 x 61.)
+        # Pad tiles sit at consecutive grid positions beyond a coset's real
+        # extent AND are masked to zero, so they contribute nothing.
+        cy_m = max(ny_e, ny_o)
+        cz_m = max(nz_e, nz_o)
+        coset_meta = []
+        for oy, cy in ((0, ny_e), (sy, ny_o)):
+            for oz, cz in ((0, nz_e), (sz, nz_o)):
+                if cy > 0 and cz > 0:
+                    v = np.zeros((cy_m, cz_m), np.bool_)
+                    v[:cy, :cz] = True
+                    coset_meta.append((oy, oz, v.reshape(-1)))
+        oy_arr = jnp.asarray([m[0] for m in coset_meta], jnp.int32)
+        oz_arr = jnp.asarray([m[1] for m in coset_meta], jnp.int32)
+        valid_arr = jnp.asarray(np.stack([m[2] for m in coset_meta]))
+
+        n_tiles = cy_m * cz_m
+        # sub-batch the forward with a hard cap of 4: the full-res decoder
+        # feature maps lane-pad 16->128 channels (8x HBM), and XLA keeps
+        # ~3 remat copies alive — at B=8 that is 2.8G each and OOMs the
+        # 512^3 x 61-class sweep; B=4 halves it (conv cost per tile is
+        # nearly flat in B at these widths, see docs/Performance.md)
+        B = min(self.tile_batch, 4, n_tiles)
+        G = -(-n_tiles // B)
+        pad = G * B - n_tiles
+
+        def process_coset(accs, vol_slab, oy, oz, valid, stacked_params):
+            """vol_slab (p0, Yp, Zp, C); a coset of cy_m x cz_m disjoint tiles
+            at dynamic plane offset (oy, oz), tile (i, j) valid[i*cz_m+j].
+            accs is a tuple of x-row half-buffers (rows [0:stride) and
+            [stride:p0)), or a single (p0,...) buffer for stride==0."""
+            region = jax.lax.dynamic_slice(
                 vol_slab, (0, oy, oz, 0),
-                (p0, oy + cy * py, oz + cz * pz, in_channels))
-            tiles = region.reshape(p0, cy, py, cz, pz, in_channels)
+                (p0, cy_m * py, cz_m * pz, in_channels))
+            tiles = region.reshape(p0, cy_m, py, cz_m, pz, in_channels)
             tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
-                cy * cz, p0, py, pz, in_channels)
-            # sub-batch the forward with a hard cap of 4: the full-res decoder
-            # feature maps lane-pad 16->128 channels (8x HBM), and XLA keeps
-            # ~3 remat copies alive — at B=8 that is 2.8G each and OOMs the
-            # 512^3 x 61-class sweep; B=4 halves it (conv cost per tile is
-            # nearly flat in B at these widths, see docs/Performance.md)
-            n_tiles = cy * cz
-            B = min(self.tile_batch, 4, n_tiles)
-            G = -(-n_tiles // B)
-            pad = G * B - n_tiles
+                n_tiles, p0, py, pz, in_channels)
             if pad:
                 tiles = jnp.concatenate(
                     [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)], 0)
+                valid = jnp.concatenate(
+                    [valid, jnp.zeros((pad,), valid.dtype)])
             tiles = tiles.reshape(G, B, p0, py, pz, in_channels)
+            vmask = valid.reshape(G, B).astype(acc_dtype)
             gw = gaussian[None, ..., None]
 
-            def group_body(_, tb):
+            def group_body(_, xs):
+                tb, vm = xs
                 logits = forward(stacked_params, tb.astype(compute_dtype))
                 c = jnp.concatenate(
                     [logits * gw,
                      jnp.broadcast_to(gw, logits.shape[:-1] + (1,))],
                     axis=-1).astype(acc_dtype)
-                return None, c
+                return None, c * vm[:, None, None, None, None]
 
-            _, contrib = jax.lax.scan(group_body, None, tiles)
+            _, contrib = jax.lax.scan(group_body, None, (tiles, vmask))
             contrib = contrib.reshape(G * B, p0, py, pz, K + 1)[:n_tiles]
-            contrib = contrib.reshape(cy, cz, p0, py, pz, K + 1)
+            contrib = contrib.reshape(cy_m, cz_m, p0, py, pz, K + 1)
             # acc layout is (x, C, Y, Z): with Z minor the TPU lane padding is
             # Zp->ceil(Zp/128)*128 (~1.1x) instead of 2-2.7x for channel- or
             # x-minor layouts (measured: both OOM'd HBM at 512^3 x 61 classes)
             plane_block = contrib.transpose(2, 5, 0, 3, 1, 4).reshape(
-                p0, K + 1, cy * py, cz * pz)
+                p0, K + 1, cy_m * py, cz_m * pz)
 
             def add_to(acc, block):
                 rows = block.shape[0]
                 return jax.lax.dynamic_update_slice(
-                    acc, jax.lax.slice(
+                    acc, jax.lax.dynamic_slice(
                         acc, (0, 0, oy, oz),
-                        (rows, K + 1, oy + cy * py, oz + cz * pz)) + block,
+                        (rows, K + 1, cy_m * py, cz_m * pz)) + block,
                     (0, 0, oy, oz))
 
             if len(accs) == 1:
@@ -533,22 +559,11 @@ class SlidingWindowEngine:
             return acc[:n_rows_static, :K].argmax(1).astype(jnp.uint8)
 
         def run_cosets(accs, vol_slab, stacked_params):
-            for oy, cy in ((0, ny_e), (sy, ny_o)):
-                for oz, cz in ((0, nz_e), (sz, nz_o)):
-                    if cy > 0 and cz > 0:
-                        accs = process_coset(accs, vol_slab, oy, cy, oz, cz,
-                                             stacked_params)
-                        # serialize cosets (without this XLA hoists all
-                        # cosets' plane blocks before the adds and OOMs), but
-                        # only a SCALAR token crosses the barrier: passing the
-                        # accumulator halves themselves pinned them across the
-                        # barrier and XLA remat-compressed them into x-minor
-                        # copies (+2.7G each at 512^3 x 61 classes)
-                        tok = sum(
-                            jax.lax.slice(a, (0,) * a.ndim, (1,) * a.ndim)
-                            for a in accs)
-                        _, vol_slab = jax.lax.optimization_barrier(
-                            (tok, vol_slab))
+            def body(accs, xs):
+                oy, oz, valid = xs
+                return process_coset(accs, vol_slab, oy, oz, valid,
+                                     stacked_params), None
+            accs, _ = jax.lax.scan(body, accs, (oy_arr, oz_arr, valid_arr))
             return accs
 
         @jax.jit
@@ -615,7 +630,9 @@ class SlidingWindowEngine:
             tight = max(extent, p)
             n = int(np.ceil((tight - p) / s)) + 1 if tight > p else 1
             ce, co = (n + 1) // 2, n // 2
-            needed = max(ce * p, (s + co * p) if co else 0)
+            # cosets are padded to ce tiles each (see _build_coset_runner), so
+            # the odd coset's slice reaches s + ce*p
+            needed = (s + ce * p) if co else ce * p
             return n, needed
 
         ny, y_needed = grid_1d(spatial[1], py, sy)
