@@ -471,48 +471,46 @@ class SlidingWindowEngine:
         ny_e, ny_o = coset_counts(ny)
         nz_e, nz_o = coset_counts(nz)
 
-        # Cosets run under a lax.scan with UNIFORM padded tile counts
-        # (cy_m x cz_m): the loop-carried accumulator serializes them by
-        # construction, bounding liveness to ONE coset's buffers. (Python-
-        # unrolled cosets let XLA hoist all four 3.4G contribs concurrently;
-        # full-buffer barriers pinned remat-compressed x-minor acc copies and
-        # scalar-token barriers were DCE'd — all three OOM'd at 512^3 x 61.)
-        # Pad tiles sit at consecutive grid positions beyond a coset's real
-        # extent AND are masked to zero, so they contribute nothing.
-        cy_m = max(ny_e, ny_o)
+        # Coset ROWS run under a lax.scan: the loop-carried accumulator
+        # serializes them by construction, bounding liveness to ONE row's
+        # buffers (~0.7G at 512^3 x 61 classes). Coarser granularities all
+        # OOM'd: python-unrolled cosets let XLA hoist all four 3.4G contribs
+        # concurrently; full-buffer optimization_barriers pinned remat-
+        # compressed x-minor acc copies; scalar-token barriers were DCE'd;
+        # even a scan over WHOLE cosets keeps a 10G contrib+transpose+add
+        # pipeline live per step. A row = cz_m tiles of ONE coset at a fixed
+        # y offset; columns are padded to cz_m and masked to zero.
         cz_m = max(nz_e, nz_o)
-        coset_meta = []
-        for oy, cy in ((0, ny_e), (sy, ny_o)):
+        rows_meta = []
+        for oy0, cy in ((0, ny_e), (sy, ny_o)):
             for oz, cz in ((0, nz_e), (sz, nz_o)):
                 if cy > 0 and cz > 0:
-                    v = np.zeros((cy_m, cz_m), np.bool_)
-                    v[:cy, :cz] = True
-                    coset_meta.append((oy, oz, v.reshape(-1)))
-        oy_arr = jnp.asarray([m[0] for m in coset_meta], jnp.int32)
-        oz_arr = jnp.asarray([m[1] for m in coset_meta], jnp.int32)
-        valid_arr = jnp.asarray(np.stack([m[2] for m in coset_meta]))
+                    vcols = np.zeros((cz_m,), np.bool_)
+                    vcols[:cz] = True
+                    for i in range(cy):
+                        rows_meta.append((oy0 + i * py, oz, vcols))
+        oy_arr = jnp.asarray([m[0] for m in rows_meta], jnp.int32)
+        oz_arr = jnp.asarray([m[1] for m in rows_meta], jnp.int32)
+        valid_arr = jnp.asarray(np.stack([m[2] for m in rows_meta]))
 
-        n_tiles = cy_m * cz_m
         # sub-batch the forward with a hard cap of 4: the full-res decoder
         # feature maps lane-pad 16->128 channels (8x HBM), and XLA keeps
         # ~3 remat copies alive — at B=8 that is 2.8G each and OOMs the
         # 512^3 x 61-class sweep; B=4 halves it (conv cost per tile is
         # nearly flat in B at these widths, see docs/Performance.md)
-        B = min(self.tile_batch, 4, n_tiles)
-        G = -(-n_tiles // B)
-        pad = G * B - n_tiles
+        B = min(self.tile_batch, 4, cz_m)
+        G = -(-cz_m // B)
+        pad = G * B - cz_m
 
-        def process_coset(accs, vol_slab, oy, oz, valid, stacked_params):
-            """vol_slab (p0, Yp, Zp, C); a coset of cy_m x cz_m disjoint tiles
-            at dynamic plane offset (oy, oz), tile (i, j) valid[i*cz_m+j].
-            accs is a tuple of x-row half-buffers (rows [0:stride) and
-            [stride:p0)), or a single (p0,...) buffer for stride==0."""
+        def process_row(accs, vol_slab, oy, oz, valid, stacked_params):
+            """vol_slab (p0, Yp, Zp, C); one coset row: cz_m disjoint tiles at
+            dynamic plane offset (oy, oz), column j valid[j]. accs is a tuple
+            of x-row half-buffers (rows [0:stride) and [stride:p0)), or a
+            single (p0,...) buffer for stride==0."""
             region = jax.lax.dynamic_slice(
-                vol_slab, (0, oy, oz, 0),
-                (p0, cy_m * py, cz_m * pz, in_channels))
-            tiles = region.reshape(p0, cy_m, py, cz_m, pz, in_channels)
-            tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
-                n_tiles, p0, py, pz, in_channels)
+                vol_slab, (0, oy, oz, 0), (p0, py, cz_m * pz, in_channels))
+            tiles = region.reshape(p0, py, cz_m, pz, in_channels).transpose(
+                2, 0, 1, 3, 4)  # (cz_m, p0, py, pz, C)
             if pad:
                 tiles = jnp.concatenate(
                     [tiles, jnp.zeros((pad, *tiles.shape[1:]), tiles.dtype)], 0)
@@ -532,20 +530,19 @@ class SlidingWindowEngine:
                 return None, c * vm[:, None, None, None, None]
 
             _, contrib = jax.lax.scan(group_body, None, (tiles, vmask))
-            contrib = contrib.reshape(G * B, p0, py, pz, K + 1)[:n_tiles]
-            contrib = contrib.reshape(cy_m, cz_m, p0, py, pz, K + 1)
+            contrib = contrib.reshape(G * B, p0, py, pz, K + 1)[:cz_m]
             # acc layout is (x, C, Y, Z): with Z minor the TPU lane padding is
             # Zp->ceil(Zp/128)*128 (~1.1x) instead of 2-2.7x for channel- or
             # x-minor layouts (measured: both OOM'd HBM at 512^3 x 61 classes)
-            plane_block = contrib.transpose(2, 5, 0, 3, 1, 4).reshape(
-                p0, K + 1, cy_m * py, cz_m * pz)
+            plane_block = contrib.transpose(1, 4, 2, 0, 3).reshape(
+                p0, K + 1, py, cz_m * pz)
 
             def add_to(acc, block):
                 rows = block.shape[0]
                 return jax.lax.dynamic_update_slice(
                     acc, jax.lax.dynamic_slice(
                         acc, (0, 0, oy, oz),
-                        (rows, K + 1, cy_m * py, cz_m * pz)) + block,
+                        (rows, K + 1, py, cz_m * pz)) + block,
                     (0, 0, oy, oz))
 
             if len(accs) == 1:
@@ -561,8 +558,8 @@ class SlidingWindowEngine:
         def run_cosets(accs, vol_slab, stacked_params):
             def body(accs, xs):
                 oy, oz, valid = xs
-                return process_coset(accs, vol_slab, oy, oz, valid,
-                                     stacked_params), None
+                return process_row(accs, vol_slab, oy, oz, valid,
+                                   stacked_params), None
             accs, _ = jax.lax.scan(body, accs, (oy_arr, oz_arr, valid_arr))
             return accs
 
