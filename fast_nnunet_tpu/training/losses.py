@@ -135,15 +135,26 @@ def robust_cross_entropy(logits: Array, labels: Array,
 
 
 def topk_cross_entropy(logits: Array, labels: Array, k_percent: float = 10.0,
-                       ignore_index: Optional[int] = None) -> Array:
+                       ignore_index: Optional[int] = None,
+                       label_smoothing: float = 0.0) -> Array:
     """Mean over the k% hardest voxels (ref TopKLoss; ignored voxels get CE 0 so
-    they never enter the top-k unless everything is ignored)."""
+    they never enter the top-k unless everything is ignored). label_smoothing
+    follows torch CrossEntropyLoss: (1-eps)*nll + eps*mean_c(-log p_c)."""
+    def voxel_ce(lg, lb):
+        ce = _per_voxel_ce(lg, lb)
+        if label_smoothing > 0.0:
+            x = lg.astype(jnp.float32)
+            logp = x - jax.nn.logsumexp(x, axis=-1, keepdims=True)
+            ce = (1.0 - label_smoothing) * ce \
+                + label_smoothing * (-logp.mean(-1))
+        return ce
+
     if ignore_index is not None:
         mask = labels != ignore_index
         safe = jnp.where(mask, labels, 0)
-        ce = jnp.where(mask, _per_voxel_ce(logits, safe), 0.0)
+        ce = jnp.where(mask, voxel_ce(logits, safe), 0.0)
     else:
-        ce = _per_voxel_ce(logits, labels)
+        ce = voxel_ce(logits, labels)
     flat = ce.reshape(-1)
     n_keep = max(1, int(flat.shape[0] * k_percent / 100))
     top, _ = jax.lax.top_k(flat, n_keep)

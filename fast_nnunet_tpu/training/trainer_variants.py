@@ -121,10 +121,17 @@ class _LossOverrideTrainer(NNUNetTrainer):
                                       do_bg=False)
             if kind == "topk10":
                 return topk_cross_entropy(logits, target, 10.0, ignore_index=ignore)
+            if kind == "topk10_ls01":
+                return topk_cross_entropy(logits, target, 10.0, ignore_index=ignore,
+                                          label_smoothing=0.1)
             if kind == "dc_topk10":
                 d = soft_dice_loss(logits, target, batch_dice=batch_dice, do_bg=False)
                 return d + topk_cross_entropy(logits, target, 10.0,
                                               ignore_index=ignore)
+            if kind == "dc_ce_nosmooth":
+                from .losses import dc_and_ce_loss
+                return dc_and_ce_loss(logits, target, batch_dice=batch_dice,
+                                      ignore_label=ignore, smooth=0.0)
             raise ValueError(kind)
 
         n_ds = len(self._get_deep_supervision_scales() or [None])
@@ -173,6 +180,36 @@ class NNUNetTrainerDiceTopK10Loss(_LossOverrideTrainer):
 class NNUNetTrainerAdam(NNUNetTrainer):
     def configure_optimizer(self, total_steps: int):
         return nnunet_adam(poly_lr_jax(3e-4, total_steps))
+
+
+class NNUNetTrainerAdan(NNUNetTrainer):
+    """Adan optimizer with the poly schedule (ref variants/optimizer/
+    nnUNetTrainerAdan.py:12-46; lr presets 1e-3/3e-4/1e-1 as subclasses)."""
+
+    def configure_optimizer(self, total_steps: int):
+        import optax
+        return optax.chain(
+            optax.clip_by_global_norm(12.0),
+            optax.adan(poly_lr_jax(self.initial_lr, total_steps),
+                       weight_decay=self.weight_decay))
+
+
+class NNUNetTrainerAdan1en3(NNUNetTrainerAdan):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 1e-3
+
+
+class NNUNetTrainerAdan3en4(NNUNetTrainerAdan):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 3e-4
+
+
+class NNUNetTrainerAdan1en1(NNUNetTrainerAdan):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 1e-1
 
 
 class NNUNetTrainerAdamW(NNUNetTrainer):
@@ -340,3 +377,130 @@ class NNUNetTrainerDAOrd0(NNUNetTrainer):
             ignore_label=lm.ignore_label, ds_scales=ds_scales,
             cascade_labels=lm.foreground_labels if self.is_cascaded else None,
             spatial_data_order=0)
+
+
+# ------------------------------------------------- remaining reference names
+# Every class the reference registers (SURVEY §2.3 T2) resolves here too, so
+# `-tr <name>` commands port verbatim.
+
+def _with_epochs(base, n, name):
+    cls = type(name, (base,), {})
+    def __init__(self, *a, _n=n, **kw):
+        base.__init__(self, *a, **kw)
+        self.num_epochs = _n
+    cls.__init__ = __init__
+    return cls
+
+
+NNUNetTrainer_20epochs = _epochs_variant(20)
+NNUNetTrainer_500epochs = _epochs_variant(500)
+NNUNetTrainer_750epochs = _epochs_variant(750)
+NNUNetTrainer_250epochs_NoMirroring = _with_epochs(
+    NNUNetTrainerNoMirroring, 250, "NNUNetTrainer_250epochs_NoMirroring")
+NNUNetTrainer_2000epochs_NoMirroring = _with_epochs(
+    NNUNetTrainerNoMirroring, 2000, "NNUNetTrainer_2000epochs_NoMirroring")
+NNUNetTrainer_4000epochs_NoMirroring = _with_epochs(
+    NNUNetTrainerNoMirroring, 4000, "NNUNetTrainer_4000epochs_NoMirroring")
+NNUNetTrainer_8000epochs_NoMirroring = _with_epochs(
+    NNUNetTrainerNoMirroring, 8000, "NNUNetTrainer_8000epochs_NoMirroring")
+NNUNetTrainer_onlyMirror01_1500ep = _with_epochs(
+    NNUNetTrainer_onlyMirror01, 1500, "NNUNetTrainer_onlyMirror01_1500ep")
+NNUNetTrainerDA5_10epochs = _with_epochs(
+    NNUNetTrainerDA5, 10, "NNUNetTrainerDA5_10epochs")
+NNUNetTrainerCELoss_5epochs = _with_epochs(
+    NNUNetTrainerCELoss, 5, "NNUNetTrainerCELoss_5epochs")
+
+# our spatial augmentation already interpolates seg with order 0 (the thing
+# the reference's DASegOrd0 variants change), so these are behavioral aliases
+NNUNetTrainer_DASegOrd0 = type("NNUNetTrainer_DASegOrd0", (NNUNetTrainer,), {})
+NNUNetTrainer_DASegOrd0_NoMirroring = type(
+    "NNUNetTrainer_DASegOrd0_NoMirroring", (NNUNetTrainerNoMirroring,), {})
+NNUNetTrainer_onlyMirror01_DASegOrd0 = type(
+    "NNUNetTrainer_onlyMirror01_DASegOrd0", (NNUNetTrainer_onlyMirror01,), {})
+NNUNetTrainer_noDummy2DDA = type(
+    "NNUNetTrainer_noDummy2DDA", (NNUNetTrainerNoDummy2D,), {})
+
+
+class NNUNetTrainerDA5ord0(NNUNetTrainerDA5):
+    """DA5 with order-0 data resampling (ref nnUNetTrainerDA5ord0:461)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        aug = super()._make_training_transform(patch_size, rotation, mirror_axes,
+                                               dummy_2d, lm, ds_scales)
+        aug.spatial_data_order = 0
+        return aug
+
+
+# seg is already order 0 here (see DASegOrd0 note above)
+NNUNetTrainerDA5Segord0 = type("NNUNetTrainerDA5Segord0", (NNUNetTrainerDA5,), {})
+
+
+class NNUNetTrainer_onlyMirror01_DA5(NNUNetTrainerDA5):
+    """DA5 pipeline with mirroring restricted to axes (0, 1)
+    (ref variants/data_augmentation/nnUNetTrainerDA5.py onlyMirror01_DA5)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        self.inference_allowed_mirroring_axes = (0, 1)
+        return super()._make_training_transform(patch_size, rotation, (0, 1),
+                                                dummy_2d, lm, ds_scales)
+
+
+class NNUNetTrainerTopk10LossLS01(_LossOverrideTrainer):
+    """TopK-10 CE with label smoothing 0.1 (ref variants/loss/
+    nnUNetTrainerTopkLoss.py:30-37)."""
+    loss_kind = "topk10_ls01"
+
+
+class NNUNetTrainerDiceCELoss_noSmooth(_LossOverrideTrainer):
+    """DC+CE with dice smooth term 0 (ref variants/loss/
+    nnUNetTrainerDiceCELoss_noSmooth.py)."""
+    loss_kind = "dc_ce_nosmooth"
+
+
+# reference nnUNetTrainerAdam is AdamW(amsgrad=True); VanillaAdam is plain
+# Adam — both on the poly schedule of self.initial_lr (ref variants/optimizer/
+# nnUNetTrainerAdam.py:8-60)
+class NNUNetTrainerVanillaAdam(NNUNetTrainer):
+    def configure_optimizer(self, total_steps: int):
+        import optax
+        return optax.chain(
+            optax.clip_by_global_norm(12.0),
+            optax.adam(poly_lr_jax(self.initial_lr, total_steps)))
+
+
+class NNUNetTrainerVanillaAdam1en3(NNUNetTrainerVanillaAdam):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 1e-3
+
+
+class NNUNetTrainerVanillaAdam3en4(NNUNetTrainerVanillaAdam):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 3e-4
+
+
+class NNUNetTrainerAdam1en3(NNUNetTrainerAdam):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 1e-3
+
+
+class NNUNetTrainerAdam3en4(NNUNetTrainerAdam):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 3e-4
+
+
+class NNUNetTrainerAdanCosAnneal(NNUNetTrainerAdan):
+    """Adan + cosine annealing (ref nnUNetTrainerAdan.py:49)."""
+
+    def configure_optimizer(self, total_steps: int):
+        import optax
+        from .schedules import linear_warmup_cosine
+        return optax.chain(
+            optax.clip_by_global_norm(12.0),
+            optax.adan(linear_warmup_cosine(self.initial_lr, total_steps, 0),
+                       weight_decay=self.weight_decay))
