@@ -48,6 +48,37 @@ class InstanceNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class BatchStatsNorm(nn.Module):
+    """BatchNorm over (batch, *spatial) using the CURRENT batch's statistics at
+    train and eval — the semantics of torch BatchNorm in train mode. Running
+    averages would need a mutable state collection through every jitted step;
+    until then this stateless form backs NNUNetTrainerBN (ref variants/
+    network_architecture/nnUNetTrainerBN.py swaps norm_op to BatchNorm3d)."""
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig_dtype = x.dtype
+        axes = tuple(range(x.ndim - 1))  # batch + spatial
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=axes, keepdims=True)
+        var = x32.var(axis=axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+def _norm(kind: str, eps: float, name: str, affine: bool = True):
+    if kind == "batch":
+        return BatchStatsNorm(eps=eps, affine=affine, name=name)
+    return InstanceNorm(eps=eps, affine=affine, name=name)
+
+
 class ConvDropoutNormReLU(nn.Module):
     """conv -> (dropout) -> instance norm -> leaky relu, the nnU-Net unit block."""
     features: int
@@ -56,6 +87,7 @@ class ConvDropoutNormReLU(nn.Module):
     conv_bias: bool = True
     norm_eps: float = 1e-5
     norm_affine: bool = True
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dropout_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
@@ -72,7 +104,7 @@ class ConvDropoutNormReLU(nn.Module):
                     name="conv")(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = InstanceNorm(eps=self.norm_eps, affine=self.norm_affine, name="norm")(x)
+        x = _norm(self.norm_kind, self.norm_eps, "norm", self.norm_affine)(x)
         return nn.leaky_relu(x, negative_slope=self.nonlin_negative_slope)
 
 
@@ -84,6 +116,7 @@ class StackedConvBlocks(nn.Module):
     initial_strides: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
 
@@ -97,6 +130,7 @@ class StackedConvBlocks(nn.Module):
                 strides=self.initial_strides if i == 0 else ones,
                 conv_bias=self.conv_bias,
                 norm_eps=self.norm_eps,
+                norm_kind=self.norm_kind,
                 nonlin_negative_slope=self.nonlin_negative_slope,
                 dtype=self.dtype,
                 name=f"block_{i}")(x)
@@ -112,6 +146,7 @@ class BasicResBlockD(nn.Module):
     strides: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
 
@@ -124,20 +159,20 @@ class BasicResBlockD(nn.Module):
                     padding=_same_padding(self.kernel_size), use_bias=self.conv_bias,
                     kernel_init=he_normal_init(self.nonlin_negative_slope),
                     dtype=self.dtype, name="conv1")(x)
-        y = InstanceNorm(eps=self.norm_eps, name="norm1")(y)
+        y = _norm(self.norm_kind, self.norm_eps, "norm1")(y)
         y = nn.leaky_relu(y, negative_slope=self.nonlin_negative_slope)
         y = nn.Conv(self.features, tuple(self.kernel_size), strides=ones,
                     padding=_same_padding(self.kernel_size), use_bias=self.conv_bias,
                     kernel_init=he_normal_init(self.nonlin_negative_slope),
                     dtype=self.dtype, name="conv2")(y)
-        y = InstanceNorm(eps=self.norm_eps, name="norm2")(y)
+        y = _norm(self.norm_kind, self.norm_eps, "norm2")(y)
 
         if needs_skip_conv:
             skip = nn.Conv(self.features, ones, strides=tuple(self.strides),
                            padding="VALID", use_bias=False,
                            kernel_init=he_normal_init(self.nonlin_negative_slope),
                            dtype=self.dtype, name="skip_conv")(x)
-            skip = InstanceNorm(eps=self.norm_eps, name="skip_norm")(skip)
+            skip = _norm(self.norm_kind, self.norm_eps, "skip_norm")(skip)
         else:
             skip = x
         return nn.leaky_relu(y + skip, negative_slope=self.nonlin_negative_slope)

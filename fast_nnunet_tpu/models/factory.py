@@ -71,9 +71,13 @@ def get_network_from_plans(arch_class_name: str, arch_kwargs: dict,
     dim = _dim_from_conv_op(kw.get("conv_op"), kw["kernel_sizes"])
     slope = _negative_slope(kw.get("nonlin"), kw.get("nonlin_kwargs"))
     norm_op = kw.get("norm_op")
-    if norm_op is not None and "InstanceNorm" not in norm_op:
-        raise ValueError(f"Only InstanceNorm is supported on the TPU path for now, "
-                         f"got {norm_op}")
+    if norm_op is None or "InstanceNorm" in norm_op:
+        norm_kind = "instance"
+    elif "BatchNorm" in norm_op:
+        norm_kind = "batch"  # batch-statistics form, see blocks.BatchStatsNorm
+    else:
+        raise ValueError(f"Only InstanceNorm and BatchNorm are supported on the "
+                         f"TPU path, got {norm_op}")
     norm_eps = float((kw.get("norm_op_kwargs") or {}).get("eps", 1e-5))
 
     common = dict(
@@ -88,6 +92,7 @@ def get_network_from_plans(arch_class_name: str, arch_kwargs: dict,
         n_conv_per_stage_decoder=tuple(int(n) for n in kw["n_conv_per_stage_decoder"]),
         conv_bias=bool(kw.get("conv_bias", True)),
         norm_eps=norm_eps,
+        norm_kind=norm_kind,
         nonlin_negative_slope=slope,
         dim=dim,
         dtype=dtype,

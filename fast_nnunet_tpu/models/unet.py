@@ -47,6 +47,7 @@ class PlainConvEncoder(nn.Module):
     n_conv_per_stage: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
 
@@ -61,6 +62,7 @@ class PlainConvEncoder(nn.Module):
                 initial_strides=self.strides[s],
                 conv_bias=self.conv_bias,
                 norm_eps=self.norm_eps,
+                norm_kind=self.norm_kind,
                 nonlin_negative_slope=self.nonlin_negative_slope,
                 dtype=self.dtype,
                 name=f"stage_{s}")(x)
@@ -76,6 +78,7 @@ class ResidualEncoder(nn.Module):
     n_blocks_per_stage: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
 
@@ -89,6 +92,7 @@ class ResidualEncoder(nn.Module):
             strides=(1,) * dim,
             conv_bias=self.conv_bias,
             norm_eps=self.norm_eps,
+                norm_kind=self.norm_kind,
             nonlin_negative_slope=self.nonlin_negative_slope,
             dtype=self.dtype,
             name="stem")(x)
@@ -101,6 +105,7 @@ class ResidualEncoder(nn.Module):
                     strides=self.strides[s] if b == 0 else (1,) * dim,
                     conv_bias=self.conv_bias,
                     norm_eps=self.norm_eps,
+                norm_kind=self.norm_kind,
                     nonlin_negative_slope=self.nonlin_negative_slope,
                     dtype=self.dtype,
                     name=f"stage_{s}_block_{b}")(x)
@@ -117,6 +122,7 @@ class UNetDecoder(nn.Module):
     n_conv_per_stage_decoder: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
 
@@ -148,6 +154,7 @@ class UNetDecoder(nn.Module):
                 initial_strides=(1,) * dim,
                 conv_bias=self.conv_bias,
                 norm_eps=self.norm_eps,
+                norm_kind=self.norm_kind,
                 nonlin_negative_slope=self.nonlin_negative_slope,
                 dtype=self.dtype,
                 name=f"stage_{s - 1}")(x)
@@ -179,6 +186,7 @@ class PlainConvUNet(nn.Module):
     n_conv_per_stage_decoder: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dim: int = 3
     dtype: Optional[jnp.dtype] = None
@@ -190,12 +198,14 @@ class PlainConvUNet(nn.Module):
             n_stages=self.n_stages, features_per_stage=self.features_per_stage,
             kernel_sizes=ks, strides=st, n_conv_per_stage=self.n_conv_per_stage,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
+            norm_kind=self.norm_kind,
             nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
         self.decoder = UNetDecoder(
             num_classes=self.num_classes, features_per_stage=self.features_per_stage,
             kernel_sizes=ks, strides=st,
             n_conv_per_stage_decoder=self.n_conv_per_stage_decoder,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
+            norm_kind=self.norm_kind,
             nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
 
     def __call__(self, x: Array, deep_supervision: bool = False):
@@ -216,6 +226,7 @@ class ResidualEncoderUNet(nn.Module):
     n_conv_per_stage_decoder: Sequence[int]
     conv_bias: bool = True
     norm_eps: float = 1e-5
+    norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dim: int = 3
     dtype: Optional[jnp.dtype] = None
@@ -227,12 +238,14 @@ class ResidualEncoderUNet(nn.Module):
             n_stages=self.n_stages, features_per_stage=self.features_per_stage,
             kernel_sizes=ks, strides=st, n_blocks_per_stage=self.n_blocks_per_stage,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
+            norm_kind=self.norm_kind,
             nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
         self.decoder = UNetDecoder(
             num_classes=self.num_classes, features_per_stage=self.features_per_stage,
             kernel_sizes=ks, strides=st,
             n_conv_per_stage_decoder=self.n_conv_per_stage_decoder,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
+            norm_kind=self.norm_kind,
             nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
 
     def __call__(self, x: Array, deep_supervision: bool = False):

@@ -504,3 +504,26 @@ class NNUNetTrainerAdanCosAnneal(NNUNetTrainerAdan):
             optax.clip_by_global_norm(12.0),
             optax.adan(linear_warmup_cosine(self.initial_lr, total_steps, 0),
                        weight_decay=self.weight_decay))
+
+
+class NNUNetTrainerBN(NNUNetTrainer):
+    """BatchNorm instead of InstanceNorm (ref variants/network_architecture/
+    nnUNetTrainerBN.py:8-35 swaps norm_op to the matching BatchNorm class).
+    Our BatchStatsNorm uses current-batch statistics at train AND eval
+    (running averages need a mutable state collection; see models/blocks.py)."""
+
+    def build_network_architecture(self):
+        import copy
+        from ..models.factory import build_network_from_arch_dict
+        arch = copy.deepcopy(
+            self.configuration_manager.configuration["architecture"])
+        kw = arch.get("arch_kwargs", arch)
+        if "norm_op" not in kw:
+            raise RuntimeError("'norm_op' not found in arch kwargs — this does "
+                               "not look like a default nnU-Net architecture")
+        kw["norm_op"] = "torch.nn.modules.batchnorm.BatchNorm3d"
+        kw["norm_op_kwargs"] = {"eps": 1e-5, "affine": True}
+        return build_network_from_arch_dict(
+            arch, self.num_input_channels,
+            self.label_manager.num_segmentation_heads,
+            dtype=self.compute_dtype)
