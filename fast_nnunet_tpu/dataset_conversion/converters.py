@@ -224,6 +224,17 @@ _CONVERTERS = {
 }
 
 
+def convert_old_nnunet_entry():
+    p = argparse.ArgumentParser(
+        description="nnU-Net v1 TaskXXX_YYY raw folder -> v2 DatasetXXX_YYY")
+    p.add_argument("input_folder")
+    p.add_argument("target_dataset_name",
+                   help="e.g. Dataset042_Old (must not exist yet)")
+    args = p.parse_args()
+    out = convert_old_nnunet_task(args.input_folder, args.target_dataset_name)
+    print(f"converted -> {out}")
+
+
 def convert_dataset_entry():
     p = argparse.ArgumentParser(description="public-dataset -> nnUNet_raw")
     p.add_argument("recipe", choices=sorted(_CONVERTERS))
