@@ -69,14 +69,18 @@ def main():
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2
 
+    predict = engine.predict_segmentation
+    if os.environ.get("BENCH_STREAM", "0") == "1":
+        predict = lambda p, v: engine.predict_segmentation_sweep_streamed(p, v)  # noqa: E731
+
     # warmup (compile)
-    seg = engine.predict_segmentation(params, vol)
+    seg = predict(params, vol)
     assert seg.shape == (size, size, size)
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        engine.predict_segmentation(params, vol)
+        predict(params, vol)
         times.append(time.perf_counter() - t0)
     best = min(times)
 

@@ -35,6 +35,7 @@ Design (TPU-first, no translation of the CUDA producer-thread/queue machinery):
   16-bit accumulators get the reference's x10 gaussian value scaling
   (predict_from_raw_data.py:587-590).
 """
+import functools
 import itertools
 import math
 from typing import List, Optional, Sequence, Tuple
@@ -437,6 +438,109 @@ class SlidingWindowEngine:
 
         self._jit_cache[key] = sweep
         return sweep
+
+    # ------------------------------------------------------------ streamed sweep
+    def _build_chunk_runner(self, plane: Tuple[int, ...], seg_shape,
+                            n_folds: int, in_channels: int, stride: int):
+        """Per-chunk jitted programs for the host-driven streamed sweep: the
+        host uploads x-strips ahead of compute (H2D overlaps the previous
+        chunk's convolutions; the single-jit sweep serializes the full-volume
+        upload before any compute)."""
+        key = ("chunk", plane, seg_shape, n_folds, in_channels, stride)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        p0 = self.patch_size[0]
+        K = self.num_classes
+        forward = self._tile_step_fn(n_folds)
+        acc_dtype = self.sweep_acc_dtype
+        gaussian = self._gaussian_for(acc_dtype)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def chunk_fn(stacked_params, acc, seg, slab, coords_yz, valid_yz, x0):
+            def tile_body(a, cv):
+                coords_b, valid_b = cv
+                a = self._accumulate_batch(
+                    a, slab, coords_b, valid_b, forward, stacked_params,
+                    gaussian, acc_dtype, in_channels)
+                return a, None
+
+            acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
+            rows = acc[:stride, ..., :K].argmax(-1).astype(jnp.uint8)
+            seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+            acc = jnp.concatenate(
+                [acc[stride:], jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
+            return acc, seg
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnames=("tail_rows",))
+        def tail_fn(acc, seg, x0, tail_rows):
+            rows = acc[:tail_rows, ..., :K].argmax(-1).astype(jnp.uint8)
+            return jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+
+        self._jit_cache[key] = (chunk_fn, tail_fn)
+        return self._jit_cache[key]
+
+    def predict_segmentation_sweep_streamed(self, params_list,
+                                            volume: np.ndarray) -> np.ndarray:
+        """Rolling sweep driven from the host, one jit call per x-chunk, with
+        the NEXT chunk's volume strip uploaded while the current chunk
+        computes. Requires patch[0] == 2 * stride (tile step 0.5); the
+        reference-spread in-plane grid is identical to the plain sweep's."""
+        p0 = self.patch_size[0]
+        stride = max(1, int(p0 * self.tile_step_size))
+        assert p0 == 2 * stride, "streamed sweep needs tile step 0.5"
+        if not isinstance(params_list, (list, tuple)):
+            params_list = [params_list]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+        n_folds = len(params_list)
+
+        spatial = volume.shape[1:]
+        x_tight = max(spatial[0], p0)
+        n_starts = int(np.ceil((x_tight - p0) / stride)) + 1
+        if n_starts == 1:  # nothing to stream; the single-jit path handles it
+            return self.predict_segmentation_sweep(params_list, volume)
+        x_padded = (n_starts - 1) * stride + p0
+        tail_rows = p0 - stride
+
+        tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
+        steps_rest = compute_steps_for_sliding_window(
+            tight_rest, self.patch_size[1:], self.tile_step_size)
+        coords_yz = tile_coords_from_steps(steps_rest)
+        coords_full = np.concatenate(
+            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
+        coords_b, valid_b = self._batched_coords(coords_full)
+        coords_b = jnp.asarray(coords_b)
+        valid_b = jnp.asarray(valid_b)
+
+        plane = tuple(_round_up(t, self.shape_bucket) for t in tight_rest)
+        np_dtype = jnp.bfloat16 if jnp.dtype(self.compute_dtype) == jnp.bfloat16 \
+            else np.dtype(jnp.dtype(self.compute_dtype).name)
+        vol = np.zeros((x_padded, *plane, volume.shape[0]), np.float32)
+        vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
+        vol = vol.astype(np_dtype)
+
+        K = self.num_classes
+        seg_shape = (x_padded, *plane)
+        chunk_fn, tail_fn = self._build_chunk_runner(
+            plane, seg_shape, n_folds, volume.shape[0], stride)
+
+        # strips of `stride` rows; chunk k consumes strips k and k+1
+        n_strips = n_starts + 1
+        strips = [jax.device_put(vol[k * stride:(k + 1) * stride])
+                  for k in range(min(2, n_strips))]
+        acc = jnp.zeros((p0, *plane, K + 1), self.sweep_acc_dtype)
+        seg = jnp.zeros(seg_shape, jnp.uint8)
+        for k in range(n_starts):
+            if k + 2 < n_strips:  # prefetch the strip after the current window
+                strips.append(jax.device_put(
+                    vol[(k + 2) * stride:(k + 3) * stride]))
+            slab = jnp.concatenate([strips[k], strips[k + 1]], 0)
+            acc, seg = chunk_fn(stacked, acc, seg, slab, coords_b, valid_b,
+                                k * stride)
+            strips[k] = None  # release the consumed strip's device buffer
+        seg = tail_fn(acc, seg, n_starts * stride, tail_rows=tail_rows)
+        return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
 
     # ------------------------------------------------------------------ coset sweep
     def _build_coset_runner(self, vol_shape: Tuple[int, ...], n_chunks: int,

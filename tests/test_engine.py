@@ -224,3 +224,24 @@ def test_coset_sweep_fold_ensembled(tiny_net_and_params):
     seg = eng.predict_segmentation_coset([params, params2], vol)
     ref = eng.predict_segmentation_sweep([params, params2], vol)
     np.testing.assert_array_equal(seg, ref)
+
+
+def test_streamed_sweep_matches_plain_sweep(tiny_net_and_params):
+    """Host-driven streamed sweep (per-chunk jit + strip prefetch) must be
+    bit-identical to the single-jit rolling sweep."""
+    net, params, params2 = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    vol = np.random.RandomState(21).rand(1, 26, 13, 18).astype(np.float32)
+    ref = eng.predict_segmentation_sweep(params, vol)
+    out = eng.predict_segmentation_sweep_streamed(params, vol)
+    np.testing.assert_array_equal(out, ref)
+    # fold-ensembled
+    ref2 = eng.predict_segmentation_sweep([params, params2], vol)
+    out2 = eng.predict_segmentation_sweep_streamed([params, params2], vol)
+    np.testing.assert_array_equal(out2, ref2)
+    # single-x-chunk volumes fall back to the single-jit path
+    vol1 = np.random.RandomState(22).rand(1, 7, 13, 18).astype(np.float32)
+    np.testing.assert_array_equal(
+        eng.predict_segmentation_sweep_streamed(params, vol1),
+        eng.predict_segmentation_sweep(params, vol1))
