@@ -245,3 +245,18 @@ def test_streamed_sweep_matches_plain_sweep(tiny_net_and_params):
     np.testing.assert_array_equal(
         eng.predict_segmentation_sweep_streamed(params, vol1),
         eng.predict_segmentation_sweep(params, vol1))
+
+
+def test_predict_segmentation_dispatches_streamed(tiny_net_and_params):
+    """Over-budget accumulators at step 0.5 take the streamed sweep."""
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32,
+                              max_accumulator_bytes=64)
+    called = {}
+    orig = eng.predict_segmentation_sweep_streamed
+    eng.predict_segmentation_sweep_streamed = \
+        lambda *a, **k: called.setdefault("streamed", True) or orig(*a, **k)
+    vol = np.random.RandomState(23).rand(1, 26, 13, 18).astype(np.float32)
+    eng.predict_segmentation(params, vol)
+    assert called.get("streamed")
