@@ -456,8 +456,8 @@ class SlidingWindowEngine:
         acc_dtype = self.sweep_acc_dtype
         gaussian = self._gaussian_for(acc_dtype)
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def chunk_fn(stacked_params, acc, seg, slab, coords_yz, valid_yz, x0):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk_fn(stacked_params, acc, slab, coords_yz, valid_yz):
             def tile_body(a, cv):
                 coords_b, valid_b = cv
                 a = self._accumulate_batch(
@@ -466,17 +466,18 @@ class SlidingWindowEngine:
                 return a, None
 
             acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
+            # the chunk's owned rows come back as a separate output so the
+            # host can D2H them asynchronously while later chunks compute
+            # (the final whole-seg fetch costs ~2 s through the dev tunnel)
             rows = acc[:stride, ..., :K].argmax(-1).astype(jnp.uint8)
-            seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
             acc = jnp.concatenate(
                 [acc[stride:], jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
-            return acc, seg
+            return acc, rows
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1),
+        @functools.partial(jax.jit, donate_argnums=(0,),
                            static_argnames=("tail_rows",))
-        def tail_fn(acc, seg, x0, tail_rows):
-            rows = acc[:tail_rows, ..., :K].argmax(-1).astype(jnp.uint8)
-            return jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+        def tail_fn(acc, tail_rows):
+            return acc[:tail_rows, ..., :K].argmax(-1).astype(jnp.uint8)
 
         self._jit_cache[key] = (chunk_fn, tail_fn)
         return self._jit_cache[key]
@@ -530,17 +531,22 @@ class SlidingWindowEngine:
         strips = [jax.device_put(vol[k * stride:(k + 1) * stride])
                   for k in range(min(2, n_strips))]
         acc = jnp.zeros((p0, *plane, K + 1), self.sweep_acc_dtype)
-        seg = jnp.zeros(seg_shape, jnp.uint8)
+        pieces = []
         for k in range(n_starts):
             if k + 2 < n_strips:  # prefetch the strip after the current window
                 strips.append(jax.device_put(
                     vol[(k + 2) * stride:(k + 3) * stride]))
             slab = jnp.concatenate([strips[k], strips[k + 1]], 0)
-            acc, seg = chunk_fn(stacked, acc, seg, slab, coords_b, valid_b,
-                                k * stride)
+            acc, rows = chunk_fn(stacked, acc, slab, coords_b, valid_b)
+            try:
+                rows.copy_to_host_async()  # D2H overlaps later chunks
+            except AttributeError:
+                pass
+            pieces.append(rows)
             strips[k] = None  # release the consumed strip's device buffer
-        seg = tail_fn(acc, seg, n_starts * stride, tail_rows=tail_rows)
-        return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
+        pieces.append(tail_fn(acc, tail_rows=tail_rows))
+        seg = np.concatenate([np.asarray(r) for r in pieces], 0)
+        return seg[tuple(slice(0, s) for s in spatial)]
 
     # ------------------------------------------------------------------ coset sweep
     def _build_coset_runner(self, vol_shape: Tuple[int, ...], n_chunks: int,
