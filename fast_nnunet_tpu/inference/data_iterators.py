@@ -35,17 +35,16 @@ def preprocessing_iterator_fromfiles(list_of_lists: List[List[str]],
     def work(i):
         try:
             pp = DefaultPreprocessor(verbose=verbose)
-            data, seg, props = pp.run_case(list_of_lists[i], None, plans_manager,
+            # the prev-stage seg rides run_case's seg path: it shares the
+            # image's crop bbox, skips intensity normalization and gets
+            # label-safe resampling (ref data_iterators.py:31-39)
+            data, seg, props = pp.run_case(list_of_lists[i], segs_prev[i],
+                                           plans_manager,
                                            configuration_manager, dataset_json)
             if segs_prev[i] is not None:
                 from ..core.labels import convert_labelmap_to_one_hot
                 lm = plans_manager.get_label_manager(dataset_json)
-                rw = plans_manager.image_reader_writer_class()()
-                sp, _ = rw.read_seg(segs_prev[i])
-                sp, _, _ = pp.run_case_npy(sp.astype(np.float32), None,
-                                           dict(props), plans_manager,
-                                           configuration_manager, dataset_json)
-                onehot = convert_labelmap_to_one_hot(sp[0], lm.foreground_labels,
+                onehot = convert_labelmap_to_one_hot(seg[0], lm.foreground_labels,
                                                      data.dtype)
                 data = np.vstack([data, onehot])
             results[i] = {"data": data, "data_properties": props,
@@ -87,20 +86,24 @@ def preprocessing_iterator_fromnpy(list_of_images: List[np.ndarray],
     ofiles = truncated_ofnames or [None] * n
     pp = DefaultPreprocessor(verbose=verbose)
     for i in range(n):
-        data, seg, props = pp.run_case_npy(
-            np.asarray(list_of_images[i], np.float32), None,
-            dict(list_of_image_properties[i]), plans_manager,
-            configuration_manager, dataset_json)
+        seg_in = None
         if list_of_segs_from_prev_stage is not None and \
                 list_of_segs_from_prev_stage[i] is not None:
+            # signed dtype: crop_to_nonzero labels outside-mask voxels -1
+            seg_in = np.asarray(list_of_segs_from_prev_stage[i]).astype(
+                np.int16, copy=False)
+            if seg_in.ndim == np.asarray(list_of_images[i]).ndim - 1:
+                seg_in = seg_in[None]
+        # prev-stage seg rides the seg path: shared crop bbox, no intensity
+        # normalization, label-safe resampling (ref data_iterators.py:154-161)
+        data, seg, props = pp.run_case_npy(
+            np.asarray(list_of_images[i], np.float32), seg_in,
+            dict(list_of_image_properties[i]), plans_manager,
+            configuration_manager, dataset_json)
+        if seg_in is not None:
             from ..core.labels import convert_labelmap_to_one_hot
             lm = plans_manager.get_label_manager(dataset_json)
-            sp, _, _ = pp.run_case_npy(
-                np.asarray(list_of_segs_from_prev_stage[i],
-                           np.float32)[None], None,
-                dict(list_of_image_properties[i]), plans_manager,
-                configuration_manager, dataset_json)
-            onehot = convert_labelmap_to_one_hot(sp[0], lm.foreground_labels,
+            onehot = convert_labelmap_to_one_hot(seg[0], lm.foreground_labels,
                                                  data.dtype)
             data = np.vstack([data, onehot])
         yield {"data": data, "data_properties": props, "ofile": ofiles[i]}

@@ -440,17 +440,19 @@ class SlidingWindowEngine:
         return sweep
 
     # ------------------------------------------------------------ streamed sweep
-    def _build_chunk_runner(self, plane: Tuple[int, ...], seg_shape,
-                            n_folds: int, in_channels: int, stride: int):
-        """Per-chunk jitted programs for the host-driven streamed sweep: the
+    def _build_chunk_runner(self, plane: Tuple[int, ...], n_folds: int,
+                            in_channels: int, roll: int):
+        """Per-chunk jitted program for the host-driven streamed sweep: the
         host uploads x-strips ahead of compute (H2D overlaps the previous
         chunk's convolutions; the single-jit sweep serializes the full-volume
-        upload before any compute)."""
-        key = ("chunk", plane, seg_shape, n_folds, in_channels, stride)
+        upload before any compute). ``roll`` is the x distance to the next
+        tile start — the chunk's owned (complete) rows; the reference's
+        evenly-spread grid yields at most two distinct roll values, so at
+        most two compiled variants."""
+        key = ("chunk", plane, n_folds, in_channels, roll)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
-        p0 = self.patch_size[0]
         K = self.num_classes
         forward = self._tile_step_fn(n_folds)
         acc_dtype = self.sweep_acc_dtype
@@ -469,28 +471,53 @@ class SlidingWindowEngine:
             # the chunk's owned rows come back as a separate output so the
             # host can D2H them asynchronously while later chunks compute
             # (the final whole-seg fetch costs ~2 s through the dev tunnel)
-            rows = acc[:stride, ..., :K].argmax(-1).astype(jnp.uint8)
+            rows = acc[:roll, ..., :K].argmax(-1).astype(jnp.uint8)
             acc = jnp.concatenate(
-                [acc[stride:], jnp.zeros((stride, *plane, K + 1), acc_dtype)], 0)
+                [acc[roll:], jnp.zeros((roll, *plane, K + 1), acc_dtype)], 0)
             return acc, rows
 
-        @functools.partial(jax.jit, donate_argnums=(0,),
-                           static_argnames=("tail_rows",))
-        def tail_fn(acc, tail_rows):
-            return acc[:tail_rows, ..., :K].argmax(-1).astype(jnp.uint8)
+        self._jit_cache[key] = chunk_fn
+        return chunk_fn
 
-        self._jit_cache[key] = (chunk_fn, tail_fn)
-        return self._jit_cache[key]
+    def _build_last_chunk_runner(self, plane: Tuple[int, ...], n_folds: int,
+                                 in_channels: int):
+        """Final chunk of the streamed sweep: accumulate the last tile grid and
+        finalize the whole remaining window (no successor tiles)."""
+        key = ("chunk_last", plane, n_folds, in_channels)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        K = self.num_classes
+        forward = self._tile_step_fn(n_folds)
+        acc_dtype = self.sweep_acc_dtype
+        gaussian = self._gaussian_for(acc_dtype)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def last_fn(stacked_params, acc, slab, coords_yz, valid_yz):
+            def tile_body(a, cv):
+                coords_b, valid_b = cv
+                a = self._accumulate_batch(
+                    a, slab, coords_b, valid_b, forward, stacked_params,
+                    gaussian, acc_dtype, in_channels)
+                return a, None
+
+            acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
+            return acc[..., :K].argmax(-1).astype(jnp.uint8)
+
+        self._jit_cache[key] = last_fn
+        return last_fn
 
     def predict_segmentation_sweep_streamed(self, params_list,
                                             volume: np.ndarray) -> np.ndarray:
         """Rolling sweep driven from the host, one jit call per x-chunk, with
         the NEXT chunk's volume strip uploaded while the current chunk
-        computes. Requires patch[0] == 2 * stride (tile step 0.5); the
-        reference-spread in-plane grid is identical to the plain sweep's."""
+        computes.
+
+        Grid-exact: both the x starts and the in-plane grid are the
+        reference's evenly-spread sliding-window steps (every tile reads real
+        volume rows — no past-the-end padding), so the result matches
+        ``predict_logits(...).argmax(0)`` for the same accumulator dtype."""
         p0 = self.patch_size[0]
-        stride = max(1, int(p0 * self.tile_step_size))
-        assert p0 == 2 * stride, "streamed sweep needs tile step 0.5"
         if not isinstance(params_list, (list, tuple)):
             params_list = [params_list]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
@@ -498,16 +525,16 @@ class SlidingWindowEngine:
 
         spatial = volume.shape[1:]
         x_tight = max(spatial[0], p0)
-        n_starts = int(np.ceil((x_tight - p0) / stride)) + 1
+        tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
+        steps = compute_steps_for_sliding_window(
+            (x_tight, *tight_rest), self.patch_size, self.tile_step_size)
+        starts_x = [int(s) for s in steps[0]]
+        n_starts = len(starts_x)
         if n_starts == 1:  # nothing to stream; the single-jit path handles it
             return self.predict_segmentation_sweep(params_list, volume)
-        x_padded = (n_starts - 1) * stride + p0
-        tail_rows = p0 - stride
+        rolls = [starts_x[k + 1] - starts_x[k] for k in range(n_starts - 1)]
 
-        tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
-        steps_rest = compute_steps_for_sliding_window(
-            tight_rest, self.patch_size[1:], self.tile_step_size)
-        coords_yz = tile_coords_from_steps(steps_rest)
+        coords_yz = tile_coords_from_steps(steps[1:])
         coords_full = np.concatenate(
             [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
         coords_b, valid_b = self._batched_coords(coords_full)
@@ -517,34 +544,42 @@ class SlidingWindowEngine:
         plane = tuple(_round_up(t, self.shape_bucket) for t in tight_rest)
         np_dtype = jnp.bfloat16 if jnp.dtype(self.compute_dtype) == jnp.bfloat16 \
             else np.dtype(jnp.dtype(self.compute_dtype).name)
-        vol = np.zeros((x_padded, *plane, volume.shape[0]), np.float32)
+        vol = np.zeros((x_tight, *plane, volume.shape[0]), np.float32)
         vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
         vol = vol.astype(np_dtype)
 
         K = self.num_classes
-        seg_shape = (x_padded, *plane)
-        chunk_fn, tail_fn = self._build_chunk_runner(
-            plane, seg_shape, n_folds, volume.shape[0], stride)
+        in_ch = volume.shape[0]
+        chunk_fns = {r: self._build_chunk_runner(plane, n_folds, in_ch, r)
+                     for r in sorted(set(rolls))}
+        last_fn = self._build_last_chunk_runner(plane, n_folds, in_ch)
 
-        # strips of `stride` rows; chunk k consumes strips k and k+1
-        n_strips = n_starts + 1
-        strips = [jax.device_put(vol[k * stride:(k + 1) * stride])
-                  for k in range(min(2, n_strips))]
+        # chunk k's slab is vol[starts_x[k] : starts_x[k]+p0); strip k carries
+        # the rows new relative to chunk k-1 and is uploaded two chunks ahead
+        # so the tunnel H2D hides behind the previous chunks' convolutions
+        bounds = [(0, p0)] + [(starts_x[k - 1] + p0, starts_x[k] + p0)
+                              for k in range(1, n_starts)]
+        strips = [jax.device_put(vol[b0:b1]) for b0, b1 in bounds[:2]]
         acc = jnp.zeros((p0, *plane, K + 1), self.sweep_acc_dtype)
+        slab = None
         pieces = []
         for k in range(n_starts):
-            if k + 2 < n_strips:  # prefetch the strip after the current window
-                strips.append(jax.device_put(
-                    vol[(k + 2) * stride:(k + 3) * stride]))
-            slab = jnp.concatenate([strips[k], strips[k + 1]], 0)
-            acc, rows = chunk_fn(stacked, acc, slab, coords_b, valid_b)
+            if k + 2 < n_starts:  # prefetch the strip after the current window
+                b0, b1 = bounds[k + 2]
+                strips.append(jax.device_put(vol[b0:b1]))
+            slab = strips[0] if k == 0 else \
+                jnp.concatenate([slab[rolls[k - 1]:], strips[k]], 0)
+            if k < n_starts - 1:
+                acc, rows = chunk_fns[rolls[k]](stacked, acc, slab,
+                                                coords_b, valid_b)
+            else:
+                rows = last_fn(stacked, acc, slab, coords_b, valid_b)
             try:
                 rows.copy_to_host_async()  # D2H overlaps later chunks
             except AttributeError:
                 pass
             pieces.append(rows)
             strips[k] = None  # release the consumed strip's device buffer
-        pieces.append(tail_fn(acc, tail_rows=tail_rows))
         seg = np.concatenate([np.asarray(r) for r in pieces], 0)
         return seg[tuple(slice(0, s) for s in spatial)]
 
@@ -760,12 +795,17 @@ class SlidingWindowEngine:
         return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
 
     def predict_segmentation_sweep(self, params_list, volume: np.ndarray) -> np.ndarray:
-        """Whole-volume argmax segmentation with the rolling-sweep runner.
+        """Whole-volume argmax segmentation with the single-jit rolling-sweep
+        runner.
 
-        Uses a uniform x stride of floor(patch0 * tile_step_size) — tile
-        placement differs from the reference's evenly-spread grid by <= 1 voxel
-        per step, which changes gaussian weighting marginally (serving/turbo
-        path; use predict_logits for grid-exact parity)."""
+        Uses a uniform x stride of floor(patch0 * tile_step_size), padding the
+        volume with zeros up to the last tile's end — so when the x extent is
+        not stride-aligned, the final tiles run partly on zero padding and the
+        last rows' tile placement drifts from the reference's evenly-spread
+        grid by up to stride-1 voxels (e.g. extent 100, patch 32: last start 80
+        vs reference 68). Serving/turbo + Pallas path only; the default
+        dispatch uses the streamed sweep, whose grid is reference-exact, and
+        predict_logits for full parity."""
         if not isinstance(params_list, (list, tuple)):
             params_list = [params_list]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
@@ -833,11 +873,10 @@ class SlidingWindowEngine:
             if self.use_coset_sweep and self.tile_step_size == 0.5 and \
                     all(p % 2 == 0 for p in self.patch_size):
                 return self.predict_segmentation_coset(params_list, volume)
-            p0 = self.patch_size[0]
-            if not self.use_pallas_accumulate and \
-                    p0 == 2 * max(1, int(p0 * self.tile_step_size)):
-                # streamed variant: bit-identical, hides H2D behind compute
-                # (34.7 -> 31.0 s on the 512^3 x 61-class bench)
+            if not self.use_pallas_accumulate:
+                # streamed variant: reference-grid-exact tile placement AND
+                # hides H2D behind compute (34.7 -> 31.0 s on the 512^3
+                # x 61-class bench)
                 return self.predict_segmentation_sweep_streamed(
                     params_list, volume)
             return self.predict_segmentation_sweep(params_list, volume)

@@ -237,11 +237,14 @@ class NNUNetPredictor:
         def producer():
             try:
                 for img_files, out_file, prev in zip(lists, out_files, seg_prev):
+                    # prev-stage seg rides the seg path of run_case so it shares
+                    # the image's crop bbox, skips intensity normalization and
+                    # gets label-safe resampling (ref data_iterators.py:31-39)
                     data, seg, props = preproc.run_case(
-                        img_files, None, self.plans_manager,
+                        img_files, prev, self.plans_manager,
                         self.configuration_manager, self.dataset_json)
                     if prev is not None:
-                        data = self._append_prev_stage(data, prev, props)
+                        data = self._stack_prev_stage_onehot(data, seg)
                     work_q.put((data, props, out_file))
                 work_q.put(None)
             except Exception as e:
@@ -271,16 +274,12 @@ class NNUNetPredictor:
         for th in export_threads:
             th.join()
 
-    def _append_prev_stage(self, data: np.ndarray, prev_seg_file: str,
-                           props: dict) -> np.ndarray:
-        """Cascade: append one-hot previous-stage segmentation channels."""
+    def _stack_prev_stage_onehot(self, data: np.ndarray,
+                                 seg_prev: np.ndarray) -> np.ndarray:
+        """Cascade: append one-hot previous-stage channels. ``seg_prev`` is the
+        (1, *S) seg returned by run_case/run_case_npy, i.e. already cropped to
+        the image bbox and label-safe-resampled (ref data_iterators.py:37-39)."""
         from ..core.labels import convert_labelmap_to_one_hot
-        rw = self.plans_manager.image_reader_writer_class()()
-        seg_prev, _ = rw.read_seg(prev_seg_file)
-        # run the same geometric preprocessing on the seg
-        seg_prev, _, _ = DefaultPreprocessor(verbose=False).run_case_npy(
-            seg_prev.astype(np.float32), None, dict(props),
-            self.plans_manager, self.configuration_manager, self.dataset_json)
         onehot = convert_labelmap_to_one_hot(
             seg_prev[0], self.label_manager.foreground_labels, data.dtype)
         return np.vstack([data, onehot])
@@ -298,9 +297,18 @@ class NNUNetPredictor:
         """(C, X, Y, Z) raw array + {'spacing': ...} -> segmentation in original
         geometry (ref :423-468)."""
         preproc = DefaultPreprocessor(verbose=self.verbose)
-        data, _, props = preproc.run_case_npy(
-            input_image, None, dict(image_properties), self.plans_manager,
+        seg_in = None
+        if segmentation_previous_stage is not None:
+            # signed dtype: crop_to_nonzero labels outside-mask voxels -1
+            seg_in = np.asarray(segmentation_previous_stage).astype(
+                np.int16, copy=False)
+            if seg_in.ndim == input_image.ndim - 1:
+                seg_in = seg_in[None]
+        data, seg, props = preproc.run_case_npy(
+            input_image, seg_in, dict(image_properties), self.plans_manager,
             self.configuration_manager, self.dataset_json)
+        if seg_in is not None:
+            data = self._stack_prev_stage_onehot(data, seg)
         logits = self.predict_logits_from_preprocessed_data(data)
         if output_file_truncated is not None:
             export_prediction_from_logits(

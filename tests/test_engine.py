@@ -226,18 +226,22 @@ def test_coset_sweep_fold_ensembled(tiny_net_and_params):
     np.testing.assert_array_equal(seg, ref)
 
 
-def test_streamed_sweep_matches_plain_sweep(tiny_net_and_params):
-    """Host-driven streamed sweep (per-chunk jit + strip prefetch) must be
-    bit-identical to the single-jit rolling sweep."""
+def test_streamed_sweep_is_grid_exact(tiny_net_and_params):
+    """Host-driven streamed sweep (per-chunk jit + strip prefetch) uses the
+    reference's evenly-spread x grid, so it must exactly reproduce the
+    grid-exact logits path — including on x extents that are NOT multiples of
+    the uniform stride (regression: the old uniform-stride grid ran the last
+    tiles partly on past-the-end zero padding)."""
     net, params, params2 = tiny_net_and_params
     eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
                               compute_dtype=jnp.float32)
+    # 26 is not a multiple of the stride: even-spread starts differ from uniform
     vol = np.random.RandomState(21).rand(1, 26, 13, 18).astype(np.float32)
-    ref = eng.predict_segmentation_sweep(params, vol)
+    ref = eng.predict_logits(params, vol).argmax(0)
     out = eng.predict_segmentation_sweep_streamed(params, vol)
     np.testing.assert_array_equal(out, ref)
     # fold-ensembled
-    ref2 = eng.predict_segmentation_sweep([params, params2], vol)
+    ref2 = eng.predict_logits([params, params2], vol).argmax(0)
     out2 = eng.predict_segmentation_sweep_streamed([params, params2], vol)
     np.testing.assert_array_equal(out2, ref2)
     # single-x-chunk volumes fall back to the single-jit path
@@ -245,6 +249,21 @@ def test_streamed_sweep_matches_plain_sweep(tiny_net_and_params):
     np.testing.assert_array_equal(
         eng.predict_segmentation_sweep_streamed(params, vol1),
         eng.predict_segmentation_sweep(params, vol1))
+
+
+def test_streamed_sweep_matches_plain_sweep_when_grids_coincide(
+        tiny_net_and_params):
+    """On stride-aligned x extents the even-spread grid equals the uniform
+    grid, so streamed and single-jit sweeps must be bit-identical."""
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32)
+    stride = max(1, int(PATCH[0] * 0.5))
+    x = PATCH[0] + 3 * stride  # (x - p0) % stride == 0 -> grids coincide
+    vol = np.random.RandomState(24).rand(1, x, 13, 18).astype(np.float32)
+    np.testing.assert_array_equal(
+        eng.predict_segmentation_sweep_streamed(params, vol),
+        eng.predict_segmentation_sweep(params, vol))
 
 
 def test_predict_segmentation_dispatches_streamed(tiny_net_and_params):
