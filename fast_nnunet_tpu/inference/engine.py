@@ -63,6 +63,22 @@ def _flip_combos(mirror_axes: Tuple[int, ...]) -> List[Tuple[int, ...]]:
     return combos
 
 
+class _SliceBatchAdapter:
+    """Presents a 2D network as a 3D one with a 1-extent leading spatial axis,
+    so the 2d-over-slices path can reuse the batched 3D tile machinery: tiles
+    of shape (B, 1, py, px, C) squeeze to (B, py, px, C) for the 2D forward."""
+
+    def __init__(self, network):
+        self._network = network
+
+    def apply(self, params, x, deep_supervision=False):
+        y = self._network.apply(params, x[:, 0],
+                                deep_supervision=deep_supervision)
+        if isinstance(y, (list, tuple)):
+            return [yi[:, None] for yi in y]
+        return y[:, None]
+
+
 class SlidingWindowEngine:
     """Compile-once, run-many sliding-window predictor core.
 
@@ -279,10 +295,15 @@ class SlidingWindowEngine:
         return int(math.prod(padded) * self._acc_channels()
                    * self.acc_dtype.itemsize * 2)
 
-    def predict_logits(self, params_list, volume: np.ndarray) -> np.ndarray:
+    def predict_logits(self, params_list, volume: np.ndarray,
+                       steps: Optional[List[List[int]]] = None) -> np.ndarray:
         """volume (C, *spatial) -> averaged gaussian-weighted logits (K, *spatial),
         fp32, fold-ensembled. Falls back to the chunk grid when the accumulator
-        would exceed the memory budget."""
+        would exceed the memory budget. A 2D engine given a 3D volume runs the
+        2D grid on every slice (ref predict_from_raw_data.py:506-538), with the
+        slice index batched as a tile coordinate."""
+        if self.dim == 2 and len(volume.shape[1:]) == 3:
+            return self._predict_logits_2d_over_slices(params_list, volume)
         if not isinstance(params_list, (list, tuple)):
             params_list = [params_list]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
@@ -291,11 +312,12 @@ class SlidingWindowEngine:
         spatial = volume.shape[1:]
         if self._acc_bytes(spatial) > self.max_accumulator_bytes and \
                 any(s > p for s, p in zip(spatial, self.patch_size)):
-            return self._predict_logits_chunked(stacked, n_folds, volume)
+            return self._predict_logits_chunked(stacked, n_folds, volume, steps)
 
-        tight = tuple(max(s, p) for s, p in zip(spatial, self.patch_size))
-        steps = compute_steps_for_sliding_window(tight, self.patch_size,
-                                                 self.tile_step_size)
+        if steps is None:
+            tight = tuple(max(s, p) for s, p in zip(spatial, self.patch_size))
+            steps = compute_steps_for_sliding_window(tight, self.patch_size,
+                                                     self.tile_step_size)
         vol, coords, valid, sl, padded = self._prepare_sub(volume, steps)
         run = self._build_runner(padded, len(coords), n_folds, volume.shape[0])
         acc, wsum = run(stacked, jnp.asarray(vol), jnp.asarray(coords),
@@ -306,6 +328,40 @@ class SlidingWindowEngine:
             raise RuntimeError("Non-finite values in accumulated logits — "
                                "consider acc_dtype=float32")
         return np.moveaxis(logits, -1, 0)
+
+    # ------------------------------------------------------------ 2d-over-slices
+    def _predict_logits_2d_over_slices(self, params_list,
+                                       volume: np.ndarray) -> np.ndarray:
+        """(C, D, Y, X) volume with a 2D patch -> (K, D, Y, X) logits.
+
+        The reference loops the 2D tile grid over every slice (ref
+        predict_from_raw_data.py:506-538, one slicer per (d, sy, sx)); here the
+        slice index d becomes the first tile coordinate of a companion 3D
+        engine with patch (1, *patch2d), so slices ride the same batched jitted
+        tile loop (real MXU batches instead of per-slice dispatches). Gaussian
+        weighting stays strictly in-plane — the 1-extent axis contributes a
+        constant factor that divides out in the weighted average."""
+        eng = self._slicewise_engine()
+        n_slices = volume.shape[1]
+        tight_yx = tuple(max(s, p)
+                         for s, p in zip(volume.shape[2:], self.patch_size))
+        steps_yx = compute_steps_for_sliding_window(
+            tight_yx, self.patch_size, self.tile_step_size)
+        steps = [list(range(n_slices))] + [list(s) for s in steps_yx]
+        return eng.predict_logits(params_list, volume, steps=steps)
+
+    def _slicewise_engine(self) -> "SlidingWindowEngine":
+        if getattr(self, "_slice_eng", None) is None:
+            self._slice_eng = SlidingWindowEngine(
+                _SliceBatchAdapter(self.network), (1, *self.patch_size),
+                self.num_classes, tile_step_size=self.tile_step_size,
+                use_gaussian=self.use_gaussian,
+                mirror_axes=tuple(a + 1 for a in self.mirror_axes),
+                compute_dtype=self.compute_dtype, acc_dtype=self.acc_dtype,
+                sweep_acc_dtype=self.sweep_acc_dtype,
+                shape_bucket=self.shape_bucket, tile_batch=self.tile_batch,
+                max_accumulator_bytes=self.max_accumulator_bytes)
+        return self._slice_eng
 
     # ------------------------------------------------------------------ chunk grid
     def _make_chunk_grid(self, steps: List[List[int]]) -> List[List[List[int]]]:
@@ -335,11 +391,14 @@ class SlidingWindowEngine:
         return [groups_for(a) for a in range(self.dim)]
 
     def _predict_logits_chunked(self, stacked, n_folds: int,
-                                volume: np.ndarray) -> np.ndarray:
+                                volume: np.ndarray,
+                                steps: Optional[List[List[int]]] = None
+                                ) -> np.ndarray:
         spatial = volume.shape[1:]
-        tight = tuple(max(s, p) for s, p in zip(spatial, self.patch_size))
-        steps = compute_steps_for_sliding_window(tight, self.patch_size,
-                                                 self.tile_step_size)
+        if steps is None:
+            tight = tuple(max(s, p) for s, p in zip(spatial, self.patch_size))
+            steps = compute_steps_for_sliding_window(tight, self.patch_size,
+                                                     self.tile_step_size)
         grid = self._make_chunk_grid(steps)
 
         out = np.zeros((self.num_classes,) + spatial, dtype=np.float32)
@@ -866,9 +925,12 @@ class SlidingWindowEngine:
     # ------------------------------------------------------------------ conveniences
     def predict_segmentation(self, params_list, volume: np.ndarray) -> np.ndarray:
         """Argmax segmentation. Large volume x many classes dispatches to the
-        on-device rolling sweep (coset-decomposed when step 0.5 / even patches —
-        the fastest path); otherwise the grid-exact logits path."""
+        on-device rolling sweep; otherwise the grid-exact logits path. A 2D
+        engine given a 3D volume predicts slice-wise (2d-over-slices)."""
         spatial = volume.shape[1:]
+        if self.dim == 2 and len(spatial) == 3:
+            return self._predict_logits_2d_over_slices(
+                params_list, volume).argmax(0)
         if self.dim == 3 and self._acc_bytes(spatial) > self.max_accumulator_bytes:
             if self.use_coset_sweep and self.tile_step_size == 0.5 and \
                     all(p % 2 == 0 for p in self.patch_size):

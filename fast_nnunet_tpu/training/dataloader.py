@@ -28,6 +28,14 @@ class PatchSampler:
         self.batch_size = batch_size
         self.initial_patch_size = tuple(int(p) for p in initial_patch_size)
         self.final_patch_size = tuple(int(p) for p in final_patch_size)
+        # 2D configs on (c, x, y, z) cases: sample pseudo-3D (1, *patch) and
+        # squeeze the singleton axis before the transforms (ref
+        # data_loader.py:32-41) — the slice picked for fg-forced samples then
+        # automatically contains the chosen class voxel
+        self._patch_was_2d = len(self.initial_patch_size) == 2
+        if self._patch_was_2d:
+            self.initial_patch_size = (1, *self.initial_patch_size)
+            self.final_patch_size = (1, *self.final_patch_size)
         self.oversample = oversample_foreground_percent
         self.transform = transform
         self.probabilistic = probabilistic_oversampling
@@ -92,6 +100,9 @@ class PatchSampler:
             if prev is not None:
                 seg = np.concatenate([np.asarray(seg), prev[None].astype(seg.dtype)])
             patch_seg = crop_and_pad_nd(seg, bbox, -1)
+            if self._patch_was_2d:
+                patch_data = patch_data[:, 0]
+                patch_seg = patch_seg[:, 0]
             if self.transform is not None:
                 patch_data, targets = self.transform(patch_data, patch_seg, rng)
             else:

@@ -279,3 +279,48 @@ def test_predict_segmentation_dispatches_streamed(tiny_net_and_params):
     vol = np.random.RandomState(23).rand(1, 26, 13, 18).astype(np.float32)
     eng.predict_segmentation(params, vol)
     assert called.get("streamed")
+
+
+@pytest.fixture(scope="module")
+def tiny_2d_net_and_params():
+    kw = {"n_stages": 2, "features_per_stage": [4, 8],
+          "kernel_sizes": [[3, 3]] * 2, "strides": [[1, 1], [2, 2]],
+          "n_conv_per_stage": [1, 1], "n_conv_per_stage_decoder": [1],
+          "conv_op": "torch.nn.modules.conv.Conv2d",
+          "nonlin": "torch.nn.LeakyReLU"}
+    net = get_network_from_plans("PlainConvUNet", kw, (), 1, K)
+    params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, 1)),
+                      deep_supervision=False)
+    return net, params
+
+
+def test_2d_engine_over_3d_volume(tiny_2d_net_and_params):
+    """A 2D-config engine given a 3D volume must predict each slice with the
+    2D tile grid (ref predict_from_raw_data.py:506-538) — per-slice results
+    must match running the 2D engine on that slice alone."""
+    net, params = tiny_2d_net_and_params
+    eng = SlidingWindowEngine(net, (8, 8), K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              tile_batch=4)
+    vol = np.random.RandomState(31).rand(1, 5, 13, 11).astype(np.float32)
+    logits = eng.predict_logits(params, vol)
+    assert logits.shape == (K, 5, 13, 11)
+    for d in range(5):
+        ref = eng.predict_logits(params, vol[:, d])
+        np.testing.assert_allclose(logits[:, d], ref, rtol=2e-5, atol=2e-5)
+    seg = eng.predict_segmentation(params, vol)
+    np.testing.assert_array_equal(seg, logits.argmax(0))
+
+
+def test_2d_engine_over_3d_volume_mirroring(tiny_2d_net_and_params):
+    """2d-over-slices with in-plane mirror TTA: mirror axes shift to the
+    in-plane axes of the companion 3D engine."""
+    net, params = tiny_2d_net_and_params
+    eng = SlidingWindowEngine(net, (8, 8), K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              mirror_axes=(0, 1), tile_batch=2)
+    vol = np.random.RandomState(32).rand(1, 3, 9, 10).astype(np.float32)
+    logits = eng.predict_logits(params, vol)
+    for d in range(3):
+        ref = eng.predict_logits(params, vol[:, d])
+        np.testing.assert_allclose(logits[:, d], ref, rtol=2e-5, atol=2e-5)
