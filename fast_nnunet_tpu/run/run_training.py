@@ -1,7 +1,10 @@
 """Training entry point (nnUNetv2_train parity, ref distillation/nnunetv2/run/
 run_training.py:32-268). No mp.spawn/NCCL: multi-device data parallelism is a
-mesh inside one process (single-controller JAX); multi-host would use
-jax.distributed.initialize, not process groups."""
+mesh inside one process (single-controller JAX); multi-host training is
+multi-controller JAX — every host runs this same command with -num_hosts /
+-coordinator / -process_id (or TPU-pod auto-detection), jax.distributed wires
+the hosts, the mesh spans all global devices, and each host loads its shard of
+the global batch (parallel/distributed.py)."""
 import argparse
 import importlib
 from typing import Optional, Union
@@ -117,7 +120,20 @@ def run_training(dataset_name_or_id, configuration: str, fold,
                  only_run_validation: bool = False,
                  disable_checkpointing: bool = False,
                  export_validation_probabilities: bool = False,
+                 num_hosts: int = 1,
+                 coordinator_address: str = None,
+                 process_id: int = None,
                  **trainer_kwargs):
+    if num_hosts > 1 or coordinator_address is not None:
+        # multi-controller JAX: every host runs this same command with its own
+        # -process_id; the mesh then spans all global devices and each host
+        # loads its shard of the global batch (the TPU answer to the
+        # reference's mp.spawn+NCCL, ref run/run_training.py:101-113). On TPU
+        # pods with cluster auto-detection, all three args may be omitted.
+        from ..parallel.distributed import initialize_distributed
+        initialize_distributed(coordinator_address=coordinator_address,
+                               num_processes=num_hosts if num_hosts > 1 else None,
+                               process_id=process_id)
     if fold != "all":
         fold = int(fold)
     trainer = get_trainer_from_args(dataset_name_or_id, configuration, fold,
@@ -153,13 +169,26 @@ def run_training_entry():
     parser.add_argument("-num_gpus", type=int, default=1,
                         help="accepted for CLI parity; the mesh uses all visible "
                              "devices automatically")
+    parser.add_argument("-num_hosts", type=int, default=1,
+                        help="multi-host training: number of participating "
+                             "hosts (each runs this command with its own "
+                             "-process_id)")
+    parser.add_argument("-coordinator", default=None,
+                        help="host:port of process 0's jax.distributed "
+                             "coordinator (omit on TPU pods with cluster "
+                             "auto-detection)")
+    parser.add_argument("-process_id", type=int, default=None,
+                        help="this host's rank in [0, num_hosts)")
     args = parser.parse_args()
     run_training(args.dataset_name_or_id, args.configuration, args.fold,
                  trainer_name=args.tr, plans_identifier=args.p,
                  pretrained_weights=args.pretrained_weights,
                  continue_training=args.continue_training,
                  only_run_validation=args.validation_only,
-                 export_validation_probabilities=args.npz)
+                 export_validation_probabilities=args.npz,
+                 num_hosts=args.num_hosts,
+                 coordinator_address=args.coordinator,
+                 process_id=args.process_id)
 
 
 if __name__ == "__main__":

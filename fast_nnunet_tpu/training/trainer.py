@@ -72,6 +72,8 @@ class NNUNetTrainer:
         self._best_ema = None
         self.logger = NNUNetLogger()
         self.was_initialized = False
+        # multi-host: only rank 0 writes files (checkpoints, logs, debug.json)
+        self.is_main_process = jax.process_index() == 0
 
         self.preprocessed_dataset_folder_base = None
         self.output_folder_base = None
@@ -119,6 +121,8 @@ class NNUNetTrainer:
     def print_to_log_file(self, *args, also_print_to_console: bool = True) -> None:
         msg = " ".join(str(a) for a in args)
         stamped = f"{datetime.now().isoformat(timespec='seconds')}: {msg}"
+        if not self.is_main_process:
+            return
         if self.output_folder is not None:
             maybe_mkdir_p(self.output_folder)
             if self.log_file is None:
@@ -170,11 +174,21 @@ class NNUNetTrainer:
             self.network, num_heads=self.label_manager.num_segmentation_heads,
             **step_kwargs))
 
-        # device mesh: all devices on the data axis when the batch divides evenly
+        # device mesh: all devices on the data axis when the batch divides
+        # evenly. Multi-host (multi-controller JAX, jax.distributed already
+        # initialized by the launcher): the mesh spans all GLOBAL devices and
+        # every host contributes its local batch shard.
         n_dev = jax.device_count()
         bs = self.configuration_manager.batch_size
-        n_data = n_dev if bs % n_dev == 0 else 1
+        if jax.process_count() > 1:
+            assert bs % n_dev == 0, (
+                f"multi-host training needs batch_size ({bs}) divisible by the "
+                f"global device count ({n_dev}) — adjust the plans")
+            n_data = n_dev
+        else:
+            n_data = n_dev if bs % n_dev == 0 else 1
         self.mesh = make_mesh(n_data=n_data)
+        self.is_main_process = jax.process_index() == 0
         self.train_state = replicate(self.mesh, self.train_state)
         self.was_initialized = True
 
@@ -233,19 +247,30 @@ class NNUNetTrainer:
             cascade_labels=cascade_labels)
 
         bs = self.configuration_manager.batch_size
+        oversample = self.oversample_foreground_percent
+        seed = 12345
+        if jax.process_count() > 1:
+            # each host loads only its slice of the global batch, with the
+            # oversample fraction matching its slice of the global fg-forcing
+            # rule (ref run_training.py:101-113 / _set_batch_size_and_oversample)
+            from ..parallel.distributed import local_batch_and_oversample
+            bs, oversample = local_batch_and_oversample(
+                bs, oversample, jax.process_index(), jax.process_count())
+            seed = 12345 + 7919 * jax.process_index()
         sampler_tr = PatchSampler(
             ds_tr, bs, initial_patch, patch_size,
-            self.oversample_foreground_percent, transform=train_transform,
+            oversample, transform=train_transform,
             probabilistic_oversampling=self.probabilistic_oversampling,
             prev_stage_folder=self.folder_with_segs_from_previous_stage)
         sampler_val = PatchSampler(
             ds_val, bs, patch_size, patch_size,
-            self.oversample_foreground_percent, transform=val_transform,
+            oversample, transform=val_transform,
             prev_stage_folder=self.folder_with_segs_from_previous_stage)
         from ..configuration import get_allowed_n_proc_DA
         n_proc = get_allowed_n_proc_DA()
-        self.dataloader_train = AsyncBatchIterator(sampler_tr, num_workers=n_proc)
-        self.dataloader_val = AsyncBatchIterator(sampler_val,
+        self.dataloader_train = AsyncBatchIterator(sampler_tr, num_workers=n_proc,
+                                                   seed=seed)
+        self.dataloader_val = AsyncBatchIterator(sampler_val, seed=seed + 500,
                                                  num_workers=max(1, n_proc // 2))
         return self.dataloader_train, self.dataloader_val
 
@@ -265,15 +290,19 @@ class NNUNetTrainer:
         targets = []
         for t in batch["target"]:
             if self.label_manager.has_regions:
-                targets.append(jnp.asarray(np.moveaxis(t, 1, -1)))
+                targets.append(np.moveaxis(t, 1, -1))
             else:
-                targets.append(jnp.asarray(t[:, 0].astype(np.int32)))
-        data = jnp.asarray(data)
-        if self.mesh is not None and self.mesh.shape["data"] > 1:
-            data = jax.device_put(data, data_sharding(self.mesh, data.ndim))
-            targets = [jax.device_put(t, data_sharding(self.mesh, t.ndim))
-                       for t in targets]
-        return data, tuple(targets)
+                targets.append(t[:, 0].astype(np.int32))
+        if self.mesh is not None and jax.process_count() > 1:
+            # assemble the global batch from each host's local shard
+            put = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+                data_sharding(self.mesh, x.ndim), np.ascontiguousarray(x))
+        elif self.mesh is not None and self.mesh.shape["data"] > 1:
+            put = lambda x: jax.device_put(  # noqa: E731
+                jnp.asarray(x), data_sharding(self.mesh, x.ndim))
+        else:
+            put = jnp.asarray
+        return put(data), tuple(put(t) for t in targets)
 
     # ------------------------------------------------------------------ loop
     def run_training(self) -> None:
@@ -313,6 +342,9 @@ class NNUNetTrainer:
     def on_train_start(self) -> None:
         if not self.was_initialized:
             self.initialize()
+        if not self.is_main_process:
+            self.get_dataloaders()
+            return
         maybe_mkdir_p(self.output_folder)
         # self-describing results folder (ref nnUNetTrainer.py:921-927)
         save_json(self.plans_manager.plans, join(self.output_folder_base, "plans.json"),
@@ -359,10 +391,13 @@ class NNUNetTrainer:
         ema = self.logger.logging["ema_fg_dice"][epoch]
         if self._best_ema is None or ema > self._best_ema:
             self._best_ema = ema
-            self.save_checkpoint(join(self.output_folder, "checkpoint_best.fnnx"))
+            if self.is_main_process:
+                self.save_checkpoint(join(self.output_folder,
+                                          "checkpoint_best.fnnx"))
             self.print_to_log_file(
                 f"New best EMA pseudo Dice: {np.round(ema, 4)}")
-        if (epoch + 1) % self.save_every == 0 and epoch + 1 != self.num_epochs:
+        if (epoch + 1) % self.save_every == 0 and epoch + 1 != self.num_epochs \
+                and self.is_main_process:
             self.save_checkpoint(join(self.output_folder, "checkpoint_latest.fnnx"))
 
         self.print_to_log_file(
@@ -370,16 +405,19 @@ class NNUNetTrainer:
             f"val {self.logger.logging['val_losses'][epoch]:.4f} "
             f"pseudo-dice {np.round(self.logger.logging['mean_fg_dice'][epoch], 4)} "
             f"(EMA {np.round(ema, 4)})")
-        try:
-            self.logger.plot_progress_png(self.output_folder)
-        except Exception:
-            pass
+        if self.is_main_process:
+            try:
+                self.logger.plot_progress_png(self.output_folder)
+            except Exception:
+                pass
 
     def on_train_end(self) -> None:
-        self.save_checkpoint(join(self.output_folder, "checkpoint_final.fnnx"))
-        latest = join(self.output_folder, "checkpoint_latest.fnnx")
-        if isfile(latest):
-            os.remove(latest)
+        if self.is_main_process:
+            self.save_checkpoint(join(self.output_folder,
+                                      "checkpoint_final.fnnx"))
+            latest = join(self.output_folder, "checkpoint_latest.fnnx")
+            if isfile(latest):
+                os.remove(latest)
         if self.dataloader_train is not None:
             self.dataloader_train.shutdown()
         if self.dataloader_val is not None:
@@ -443,6 +481,10 @@ class NNUNetTrainer:
         validation_output_folder = join(self.output_folder, "validation")
         maybe_mkdir_p(validation_output_folder)
         _, val_keys = self.do_split()
+        if jax.process_count() > 1:
+            # each host predicts its share of the val cases (local jits, no
+            # cross-host collectives); rank 0 aggregates after the barrier
+            val_keys = val_keys[jax.process_index()::jax.process_count()]
         ds_val = NpyCaseDataset(self.preprocessed_dataset_folder, val_keys)
 
         engine = SlidingWindowEngine(
@@ -487,6 +529,12 @@ class NNUNetTrainer:
                                   join(out_folder, ident + ".npz"),
                                   self.plans_manager, self.configuration_manager,
                                   props, self.dataset_json)
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("fnnt_validation_done")
+            if not self.is_main_process:
+                return {}
 
         from ..paths import get_raw_folder
         gt_folder = join(get_raw_folder(), self.plans_manager.dataset_name, "labelsTr")
