@@ -1,0 +1,151 @@
+"""Golden-fixture parity on the reference's example CT
+(distillation/nnunetv2/tests/example_data/example_ct_sm.nii.gz + its
+example_ct_sm_T300_output.nii.gz mask).
+
+The reference repo ships NO trained checkpoint, so voxel parity against the
+T300 output itself is unprovable by any implementation; what IS provable on
+the real golden data:
+
+1. our NIfTI reader/writer round-trips the fixture's geometry exactly and the
+   golden output's geometry matches what our export produces, and
+2. the full pipeline (preprocess -> sliding window -> revert-to-original-
+   geometry) produces voxel-identical masks to an independent torch
+   computation with the same imported weights — i.e. if a reference-trained
+   .pth existed, our masks would match its masks.
+
+Skipped when the fixture is not on disk.
+"""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+FIXTURE_DIR = "/root/reference/distillation/nnunetv2/tests/example_data"
+CT = os.path.join(FIXTURE_DIR, "example_ct_sm.nii.gz")
+GOLDEN = os.path.join(FIXTURE_DIR, "example_ct_sm_T300_output.nii.gz")
+
+pytestmark = pytest.mark.skipif(not os.path.isfile(CT),
+                                reason="golden fixture not available")
+
+PATCH = (16, 16, 16)
+
+
+def _plans_for_ct(intensity_props):
+    from tests.test_plans import make_plans
+    plans = make_plans()
+    cfg = plans["configurations"]["3d_fullres"]
+    cfg["patch_size"] = list(PATCH)
+    cfg["spacing"] = [4.5, 4.5, 4.5]  # golden CT is 3mm iso: exercise resampling
+    cfg["normalization_schemes"] = ["CTNormalization"]
+    plans["foreground_intensity_properties_per_channel"] = {"0": intensity_props}
+    return plans
+
+
+def test_golden_fixture_geometry_roundtrip(tmp_path):
+    """Our reader agrees with the golden pair's shared geometry, and our
+    writer reproduces it bit-exactly on re-read."""
+    from fast_nnunet_tpu.imageio.nifti import NiftiIO
+
+    rw = NiftiIO()
+    img, iprops = rw.read_images([CT])
+    seg, sprops = rw.read_seg(GOLDEN)
+    assert img.shape == seg.shape
+    assert iprops["spacing"] == sprops["spacing"]
+    assert set(np.unique(seg).tolist()) == {0.0, 1.0}
+
+    out = str(tmp_path / "roundtrip.nii.gz")
+    rw.write_seg(seg[0].astype(np.uint8), out, iprops)
+    seg2, props2 = rw.read_seg(out)
+    np.testing.assert_array_equal(seg2, seg)
+    assert props2["spacing"] == iprops["spacing"]
+
+
+def test_golden_fixture_full_pipeline_torch_parity(tmp_path):
+    """preprocess -> sliding-window -> revert geometry on the golden CT: our
+    mask must match an independent torch sliding window using the same
+    (imported) weights, voxel-for-voxel up to argmax ties (>= 99.9%)."""
+    from tests.test_torch_import import _TorchUNet, _our_net
+    from fast_nnunet_tpu.core.plans import PlansManager
+    from fast_nnunet_tpu.imageio.nifti import NiftiIO
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.inference.export import (
+        convert_predicted_logits_to_segmentation_with_correct_shape)
+    from fast_nnunet_tpu.ops.sliding_window import (
+        compute_gaussian, compute_steps_for_sliding_window,
+        tile_coords_from_steps)
+    from fast_nnunet_tpu.preprocessing.preprocessor import DefaultPreprocessor
+    from fast_nnunet_tpu.utils.torch_import import import_torch_weights
+
+    rw = NiftiIO()
+    img, props = rw.read_images([CT])
+    fg = img[img > -500]
+    intensity_props = {
+        "mean": float(fg.mean()), "std": float(fg.std()),
+        "percentile_00_5": float(np.percentile(fg, 0.5)),
+        "percentile_99_5": float(np.percentile(fg, 99.5)),
+    }
+    plans = _plans_for_ct(intensity_props)
+    pm = PlansManager(plans)
+    cm = pm.get_configuration("3d_fullres")
+    dj = {"labels": {"background": 0, "a": 1, "b": 2},
+          "file_ending": ".nii.gz"}
+    lm = pm.get_label_manager(dj)
+
+    data, _, props = DefaultPreprocessor().run_case_npy(
+        img, None, dict(props), pm, cm, dj)
+
+    # identical weights on both sides
+    tnet = _TorchUNet()
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.2)
+    net = _our_net()
+    template = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *PATCH, 1)),
+                        deep_supervision=False)
+    params, report = import_torch_weights(template, tnet.state_dict())
+    assert not report["unmatched"] and not report["shape_mismatch"]
+
+    # ours: the jitted engine
+    eng = SlidingWindowEngine(net, PATCH, 3, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32)
+    our_logits = eng.predict_logits(params, data)
+    our_mask = convert_predicted_logits_to_segmentation_with_correct_shape(
+        our_logits, pm, cm, lm, dict(props))
+
+    # torch: independent sliding window, same grid + gaussian
+    spatial = data.shape[1:]
+    tight = tuple(max(s, p) for s, p in zip(spatial, PATCH))
+    vol = np.zeros(tight, np.float32)[None].repeat(data.shape[0], 0)
+    vol[tuple(slice(0, s) for s in data.shape)] = data
+    g = compute_gaussian(PATCH).astype(np.float32)
+    steps = compute_steps_for_sliding_window(tight, PATCH, 0.5)
+    acc = np.zeros((3, *tight), np.float32)
+    w = np.zeros(tight, np.float32)
+    with torch.no_grad():
+        for c in tile_coords_from_steps(steps):
+            sl = tuple(slice(int(ci), int(ci) + p) for ci, p in zip(c, PATCH))
+            x = torch.from_numpy(vol[(slice(None),) + sl][None])
+            out = tnet(x).numpy()[0]
+            acc[(slice(None),) + sl] += out * g[None]
+            w[sl] += g
+    torch_logits = (acc / w[None])[(slice(None),) +
+                                   tuple(slice(0, s) for s in spatial)]
+    torch_mask = convert_predicted_logits_to_segmentation_with_correct_shape(
+        torch_logits.astype(np.float32), pm, cm, lm, dict(props))
+
+    agree = (our_mask == torch_mask).mean()
+    assert agree >= 0.999, f"golden-CT mask agreement too low: {agree}"
+
+    # export and compare geometry with the golden output file
+    out_file = str(tmp_path / "ours.nii.gz")
+    rw.write_seg(np.asarray(our_mask).astype(np.uint8), out_file, props)
+    ours_read, oprops = rw.read_seg(out_file)
+    _, gprops = rw.read_seg(GOLDEN)
+    assert ours_read.shape[1:] == (30, 101, 122)
+    assert oprops["spacing"] == gprops["spacing"]
