@@ -56,6 +56,16 @@ def main():
                       deep_supervision=False)
 
     import os
+    if os.environ.get("BENCH_S2D", "0") == "1" and not args.tiny:
+        # space-to-depth inference transform: outer-octave convs at half res
+        # with 8x channels (exact; 2.2-2.4x on the lane-padded full-res convs)
+        from __graft_entry__ import _bone_turbo_student_kwargs
+        from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+        s2d = make_s2d_engine_net(net, _bone_turbo_student_kwargs(),
+                                  num_classes, dtype=jnp.bfloat16)
+        assert s2d is not None
+        params = s2d.convert_params(params)
+        net = s2d
     engine = SlidingWindowEngine(
         net, patch, num_classes,
         tile_step_size=0.5, use_gaussian=True, mirror_axes=(),
