@@ -8,6 +8,8 @@ import pytest
 
 from .helpers import make_synthetic_dataset, set_nnunet_paths
 
+pytestmark = pytest.mark.slow
+
 
 def test_2d_train_and_predict_3d_volume(tmp_path_factory, monkeypatch):
     import jax.numpy as jnp

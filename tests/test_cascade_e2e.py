@@ -7,6 +7,7 @@ import pytest
 from .helpers import make_synthetic_dataset, set_nnunet_paths
 
 
+@pytest.mark.slow
 def test_cascade_training(tmp_path_factory):
     import jax.numpy as jnp
     root = str(tmp_path_factory.mktemp("cascade"))

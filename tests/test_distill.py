@@ -52,6 +52,7 @@ def distill_env(tmp_path_factory):
             "teacher_folder": t.output_folder_base}
 
 
+@pytest.mark.slow
 def test_distillation_training(distill_env):
     import jax
     import jax.numpy as jnp

@@ -226,6 +226,7 @@ def test_coset_sweep_fold_ensembled(tiny_net_and_params):
     np.testing.assert_array_equal(seg, ref)
 
 
+@pytest.mark.slow
 def test_streamed_sweep_is_grid_exact(tiny_net_and_params):
     """Host-driven streamed sweep (per-chunk jit + strip prefetch) uses the
     reference's evenly-spread x grid, so it must exactly reproduce the

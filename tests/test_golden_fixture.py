@@ -29,8 +29,9 @@ FIXTURE_DIR = "/root/reference/distillation/nnunetv2/tests/example_data"
 CT = os.path.join(FIXTURE_DIR, "example_ct_sm.nii.gz")
 GOLDEN = os.path.join(FIXTURE_DIR, "example_ct_sm_T300_output.nii.gz")
 
-pytestmark = pytest.mark.skipif(not os.path.isfile(CT),
-                                reason="golden fixture not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isfile(CT),
+                                 reason="golden fixture not available")]
 
 PATCH = (16, 16, 16)
 

@@ -7,6 +7,8 @@ import pytest
 
 from .helpers import make_synthetic_dataset, set_nnunet_paths
 
+pytestmark = pytest.mark.slow
+
 
 def _run_pipeline(raw, name, labels, regions_class_order=None, n_classes=2,
                   seg_mutator=None):

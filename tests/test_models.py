@@ -51,6 +51,7 @@ def test_plain_unet_forward_shapes(plain_net_and_params):
     assert ds[1].shape == (1, 8, 8, 8, 3)
 
 
+@pytest.mark.slow
 def test_plain_unet_anisotropic_strides():
     kw = dict(ARCH_3D)
     kw["strides"] = [[1, 1, 1], [1, 2, 2], [2, 2, 2]]
@@ -133,6 +134,7 @@ def test_block_strategies():
         apply_block_strategy(blocks, "bogus")
 
 
+@pytest.mark.slow
 def test_student_fewer_params():
     x = jnp.zeros((1, 8, 8, 8, 1))
     teacher = _make()

@@ -6,6 +6,8 @@ import pytest
 
 from fast_nnunet_tpu.ops.pallas_kernels import scatter_accumulate
 
+pytestmark = pytest.mark.slow
+
 
 def reference_scatter(acc, contrib, coords):
     out = np.array(acc)

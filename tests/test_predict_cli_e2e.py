@@ -8,6 +8,8 @@ import pytest
 
 from .helpers import make_synthetic_dataset, set_nnunet_paths
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

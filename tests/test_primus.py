@@ -21,6 +21,7 @@ def tiny_primus():
     return net, params
 
 
+@pytest.mark.slow
 def test_primus_forward(tiny_primus):
     net, params = tiny_primus
     x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 16, 1), jnp.float32)
@@ -44,6 +45,7 @@ def test_primus_patch_divisibility():
         net.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 16, 16, 1)))
 
 
+@pytest.mark.slow
 def test_primus_trainer_step():
     """One NaN-guarded AdamW step on a toy task."""
     import optax

@@ -62,8 +62,9 @@ def test_expand_kernel_downsample_exact():
 
 @pytest.mark.parametrize("n_stages,features,n_conv,n_dec", [
     (3, (8, 16, 32), (2, 2, 2), (2, 2)),
-    (2, (4, 8), (2, 2), (2,)),
-    (4, (4, 8, 16, 32), (1, 2, 2, 2), (2, 2, 1)),
+    pytest.param(2, (4, 8), (2, 2), (2,), marks=pytest.mark.slow),
+    pytest.param(4, (4, 8, 16, 32), (1, 2, 2, 2), (2, 2, 1),
+                 marks=pytest.mark.slow),
 ])
 def test_s2d_unet_matches_plain(n_stages, features, n_conv, n_dec):
     arch = _arch(n_stages, features, n_conv, n_dec)
