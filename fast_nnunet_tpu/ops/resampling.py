@@ -121,46 +121,40 @@ def resample_data_or_seg(data: np.ndarray, new_shape: Sequence[int], is_seg: boo
 
     if do_separate_z:
         assert axis is not None, "do_separate_z requires the anisotropic axis"
-        if axis == 0:
-            new_shape_2d = new_shape[1:]
-        elif axis == 1:
-            new_shape_2d = new_shape[[0, 2]]
-        else:
-            new_shape_2d = new_shape[:-1]
-
+        plane_shape = np.delete(new_shape, axis)
         for c in range(data.shape[0]):
-            tmp_shape = new_shape.copy()
-            tmp_shape[axis] = shape[axis]
-            reshaped_here = np.zeros(tmp_shape)
-            for slice_id in range(shape[axis]):
-                sl = [slice(None)] * 3
-                sl[axis] = slice_id
-                reshaped_here[tuple(sl)] = _resize(data[c][tuple(sl)], new_shape_2d)
-            if shape[axis] != new_shape[axis]:
-                # pixel-center aligned z interpolation (align_corners=False)
-                rows, cols, dim = new_shape
-                orig_rows, orig_cols, orig_dim = reshaped_here.shape
-                map_rows, map_cols, map_dims = np.mgrid[:rows, :cols, :dim].astype(float)
-                map_rows = (orig_rows / rows) * (map_rows + 0.5) - 0.5
-                map_cols = (orig_cols / cols) * (map_cols + 0.5) - 0.5
-                map_dims = (orig_dim / dim) * (map_dims + 0.5) - 0.5
-                coord_map = np.array([map_rows, map_cols, map_dims])
-                if not is_seg or order_z == 0:
-                    reshaped_final[c] = map_coordinates(reshaped_here, coord_map, order=order_z,
-                                                        mode="nearest")
-                else:
-                    unique_labels = np.sort(np.unique(reshaped_here))
-                    for cl in unique_labels:
-                        sel = np.round(map_coordinates((reshaped_here == cl).astype(float),
-                                                       coord_map, order=order_z,
-                                                       mode="nearest")) > 0.5
-                        reshaped_final[c][sel] = cl
+            # in-plane pass: resize every slice perpendicular to the
+            # anisotropic axis at the full `order`
+            planes = [_resize(plane, plane_shape)
+                      for plane in np.moveaxis(data[c], axis, 0)]
+            stacked = np.moveaxis(np.stack(planes), 0, axis)
+            if shape[axis] == new_shape[axis]:
+                reshaped_final[c] = stacked
+                continue
+            # through-plane pass at order_z, on a pixel-center-aligned grid
+            # (align_corners=False semantics; matches the reference's output)
+            grid = _pixel_center_grid(stacked.shape, new_shape)
+            if not is_seg or order_z == 0:
+                reshaped_final[c] = map_coordinates(stacked, grid,
+                                                    order=order_z, mode="nearest")
             else:
-                reshaped_final[c] = reshaped_here
+                for lbl in np.sort(np.unique(stacked)):
+                    on = map_coordinates((stacked == lbl).astype(float), grid,
+                                         order=order_z, mode="nearest")
+                    reshaped_final[c][np.round(on) > 0.5] = lbl
     else:
         for c in range(data.shape[0]):
             reshaped_final[c] = _resize(data[c], new_shape)
     return reshaped_final
+
+
+def _pixel_center_grid(old_shape, new_shape) -> np.ndarray:
+    """(ndim, *new_shape) coordinate map sending output pixel CENTERS into
+    input index space — the align_corners=False convention: index i of an
+    n-long axis maps to (old/n) * (i + 0.5) - 0.5."""
+    axes = [(o / n) * (np.arange(n, dtype=float) + 0.5) - 0.5
+            for o, n in zip(old_shape, new_shape)]
+    return np.stack(np.meshgrid(*axes, indexing="ij"))
 
 
 def resample_data_or_seg_to_spacing(data: np.ndarray, current_spacing, new_spacing,
