@@ -98,10 +98,18 @@ class DefaultPreprocessor:
     def run_case_save(self, output_filename_truncated: str, image_files: List[str],
                       seg_file: Optional[str], plans_manager: PlansManager,
                       configuration_manager: ConfigurationManager,
-                      dataset_json: Union[dict, str]):
+                      dataset_json: Union[dict, str],
+                      storage: str = "npy"):
         data, seg, properties = self.run_case(image_files, seg_file, plans_manager,
                                               configuration_manager, dataset_json)
-        NpyCaseDataset.save_case(data, seg, properties, output_filename_truncated)
+        if storage == "fnnz":
+            from ..training.zstd_store import ZstdCaseDataset
+            ZstdCaseDataset.save_case(
+                data, seg, properties, output_filename_truncated,
+                patch_size=configuration_manager.patch_size)
+        else:
+            NpyCaseDataset.save_case(data, seg, properties,
+                                     output_filename_truncated)
 
     # ------------------------------------------------------------------ helpers
     @staticmethod
@@ -166,8 +174,13 @@ class DefaultPreprocessor:
 
     # ------------------------------------------------------------------ dataset run
     def run(self, dataset_name_or_id, configuration_name: str,
-            plans_identifier: str = "nnUNetPlans", num_processes: int = 8) -> None:
-        """Preprocess a whole dataset into nnUNet_preprocessed/<ds>/<data_identifier>."""
+            plans_identifier: str = "nnUNetPlans", num_processes: int = 8,
+            storage: Optional[str] = None) -> None:
+        """Preprocess a whole dataset into nnUNet_preprocessed/<ds>/<data_identifier>.
+
+        storage: 'npy' (memmap-able, default) or 'fnnz' (chunked-zstd,
+        cache-tuned bricks — the reference's blosc2 role); defaults to the
+        FNNT_STORE env var."""
         from ..paths import get_preprocessed_folder, get_raw_folder
         from ..utils.misc import maybe_convert_to_dataset_name
 
@@ -181,13 +194,18 @@ class DefaultPreprocessor:
 
         out_folder = join(preprocessed, configuration_manager.data_identifier)
         maybe_mkdir_p(out_folder)
+        if storage is None:
+            import os
+            storage = os.environ.get("FNNT_STORE", "npy")
+        assert storage in ("npy", "fnnz"), f"unknown storage {storage!r}"
 
         jobs = [(join(out_folder, ident), d["images"], d["label"])
                 for ident, d in dataset.items()]
         if num_processes <= 1:
             for out_trunc, images, label in jobs:
                 self.run_case_save(out_trunc, images, label, plans_manager,
-                                   configuration_manager, dataset_json)
+                                   configuration_manager, dataset_json,
+                                   storage=storage)
         else:
             from ..utils.mp_env import cpu_only_child_env
             ctx = multiprocessing.get_context("spawn")
@@ -197,14 +215,15 @@ class DefaultPreprocessor:
                 futures = {
                     ex.submit(_run_case_save_worker, type(self), out_trunc, images,
                               label, plans_manager.plans, configuration_name,
-                              dataset_json): out_trunc
+                              dataset_json, storage): out_trunc
                     for out_trunc, images, label in jobs}
                 for fut in as_completed(futures):
                     fut.result()  # re-raise worker errors with context
 
 
 def _run_case_save_worker(preproc_cls, out_trunc, images, label, plans_dict,
-                          configuration_name, dataset_json):
+                          configuration_name, dataset_json, storage="npy"):
     pm = PlansManager(plans_dict)
     cm = pm.get_configuration(configuration_name)
-    preproc_cls().run_case_save(out_trunc, images, label, pm, cm, dataset_json)
+    preproc_cls().run_case_save(out_trunc, images, label, pm, cm, dataset_json,
+                                storage=storage)

@@ -54,7 +54,7 @@ def preprocess(dataset_ids: List[Union[int, str]],
                plans_identifier: str = "nnUNetPlans",
                configurations: List[str] = ("2d", "3d_fullres", "3d_lowres"),
                num_processes: Union[int, List[int]] = (8, 4, 8),
-               verbose: bool = False) -> None:
+               verbose: bool = False, storage: str = None) -> None:
     if isinstance(num_processes, int):
         num_processes = [num_processes] * len(configurations)
     if len(num_processes) < len(configurations):
@@ -73,7 +73,7 @@ def preprocess(dataset_ids: List[Union[int, str]],
                       "skipping.")
                 continue
             DefaultPreprocessor(verbose=verbose).run(
-                d, cfg, plans_identifier, num_processes=np_)
+                d, cfg, plans_identifier, num_processes=np_, storage=storage)
 
 
 def plan_and_preprocess_entry():
@@ -94,6 +94,10 @@ def plan_and_preprocess_entry():
     parser.add_argument("-overwrite_plans_name", default=None)
     parser.add_argument("-c", nargs="+", default=["2d", "3d_fullres", "3d_lowres"])
     parser.add_argument("-np", nargs="+", type=int, default=None)
+    parser.add_argument("-store", choices=("npy", "fnnz"), default=None,
+                        help="preprocessed-case store: memmap npy (default) "
+                             "or chunked-zstd fnnz (compressed, cache-tuned "
+                             "bricks; also via FNNT_STORE)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -111,7 +115,8 @@ def plan_and_preprocess_entry():
             "nnUNetPlannerResEncL": "nnUNetResEncUNetLPlans",
             "nnUNetPlannerResEncXL": "nnUNetResEncUNetXLPlans",
         }.get(args.pl, "nnUNetPlans")
-        preprocess(args.d, plans_identifier, args.c, np_, args.verbose)
+        preprocess(args.d, plans_identifier, args.c, np_, args.verbose,
+                   storage=args.store)
 
 
 def extract_fingerprint_entry():
@@ -145,7 +150,11 @@ def preprocess_entry():
     parser.add_argument("-plans_name", default="nnUNetPlans")
     parser.add_argument("-c", nargs="+", default=["2d", "3d_fullres", "3d_lowres"])
     parser.add_argument("-np", nargs="+", type=int, default=None)
+    parser.add_argument("-store", choices=("npy", "fnnz"), default=None,
+                        help="preprocessed-case store: memmap npy (default) or "
+                             "chunked-zstd fnnz (also via FNNT_STORE)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
     preprocess(args.d, args.plans_name, args.c,
-               args.np if args.np is not None else (8, 4, 8), args.verbose)
+               args.np if args.np is not None else (8, 4, 8), args.verbose,
+               storage=args.store)

@@ -66,6 +66,14 @@ class NpyCaseDataset:
 
 
 def infer_dataset_class(folder: str):
-    """Single store format for now; mirrors the reference's extension hook
-    (nnunet_dataset.py:307-315)."""
+    """Pick the store from the files present, mirroring the reference's
+    extension hook (nnunet_dataset.py:307-315): chunked-zstd .fnnz (the
+    compressed cache-tuned store, training/zstd_store.py) or plain .npy."""
+    try:
+        names = os.listdir(folder)
+    except OSError:
+        names = []
+    if any(n.endswith(".fnnz") for n in names):
+        from .zstd_store import ZstdCaseDataset
+        return ZstdCaseDataset
     return NpyCaseDataset

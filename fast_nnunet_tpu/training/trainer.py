@@ -35,7 +35,7 @@ from .augment import (TrainingAugmenter, ValidationAugmenter,
 from .checkpoint import load_checkpoint as load_ckpt_file
 from .checkpoint import restore_params, save_checkpoint
 from .dataloader import AsyncBatchIterator, PatchSampler
-from .dataset import NpyCaseDataset
+from .dataset import NpyCaseDataset, infer_dataset_class
 from .logger import NNUNetLogger
 from .optimizers import nnunet_sgd
 from .schedules import poly_lr_jax
@@ -206,10 +206,10 @@ class NNUNetTrainer:
     # ------------------------------------------------------------------ data
     def do_split(self) -> Tuple[List[str], List[str]]:
         if self.fold == "all":
-            keys = NpyCaseDataset.get_identifiers(self.preprocessed_dataset_folder)
+            keys = infer_dataset_class(self.preprocessed_dataset_folder).get_identifiers(self.preprocessed_dataset_folder)
             return keys, keys
         splits_file = join(self.preprocessed_dataset_folder_base, "splits_final.json")
-        keys = NpyCaseDataset.get_identifiers(self.preprocessed_dataset_folder)
+        keys = infer_dataset_class(self.preprocessed_dataset_folder).get_identifiers(self.preprocessed_dataset_folder)
         if not isfile(splits_file):
             splits = generate_crossval_split(keys, seed=12345, n_splits=5)
             save_json(splits, splits_file)
@@ -234,8 +234,9 @@ class NNUNetTrainer:
         lm = self.label_manager
 
         tr_keys, val_keys = self.do_split()
-        ds_tr = NpyCaseDataset(self.preprocessed_dataset_folder, tr_keys)
-        ds_val = NpyCaseDataset(self.preprocessed_dataset_folder, val_keys)
+        dataset_class = infer_dataset_class(self.preprocessed_dataset_folder)
+        ds_tr = dataset_class(self.preprocessed_dataset_folder, tr_keys)
+        ds_val = dataset_class(self.preprocessed_dataset_folder, val_keys)
 
         train_transform = self._make_training_transform(
             patch_size, rotation, mirror_axes, dummy_2d, lm, ds_scales)
@@ -485,7 +486,8 @@ class NNUNetTrainer:
             # each host predicts its share of the val cases (local jits, no
             # cross-host collectives); rank 0 aggregates after the barrier
             val_keys = val_keys[jax.process_index()::jax.process_count()]
-        ds_val = NpyCaseDataset(self.preprocessed_dataset_folder, val_keys)
+        ds_val = infer_dataset_class(self.preprocessed_dataset_folder)(
+            self.preprocessed_dataset_folder, val_keys)
 
         engine = SlidingWindowEngine(
             self.network, self.configuration_manager.patch_size,
@@ -518,7 +520,8 @@ class NNUNetTrainer:
                 ns_data_folder = join(self.preprocessed_dataset_folder_base,
                                       ns_cfg.data_identifier)
                 try:
-                    ns_data, _, _ = NpyCaseDataset(ns_data_folder).load_case(ident)
+                    ns_data, _, _ = infer_dataset_class(ns_data_folder)(
+                        ns_data_folder).load_case(ident)
                     target_shape = ns_data.shape[1:]
                 except (FileNotFoundError, KeyError, ValueError):
                     continue  # next stage not preprocessed yet
