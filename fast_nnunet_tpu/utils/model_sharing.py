@@ -57,6 +57,47 @@ def install_model_from_zip_file(zip_file: str) -> None:
     print(f"Installed model(s) from {zip_file} into {get_results_folder()}")
 
 
+def download_file(url: str, local_filename: str,
+                  chunk_size: int = 8192 * 16) -> str:
+    """Stream a URL to disk (stdlib urllib — requests is not a dependency)."""
+    import urllib.request
+    req = urllib.request.Request(url, headers={"User-Agent": "fast-nnunet-tpu"})
+    with urllib.request.urlopen(req, timeout=100) as r, \
+            open(local_filename, "wb") as f:
+        total = int(r.headers.get("Content-Length") or 0)
+        done = 0
+        while True:
+            chunk = r.read(chunk_size)
+            if not chunk:
+                break
+            f.write(chunk)
+            done += len(chunk)
+            if total:
+                print(f"\r  {done / 1e6:.1f}/{total / 1e6:.1f} MB", end="",
+                      flush=True)
+        print()
+    return local_filename
+
+
+def download_and_install_from_url(url: str) -> None:
+    """Fetch a model zip from a URL and install it into nnUNet_results (ref
+    model_sharing/model_download.py:12-35)."""
+    import tempfile
+    from ..paths import get_results_folder
+    assert get_results_folder() is not None
+    print("Downloading pretrained model from url:", url)
+    fd, tmp = tempfile.mkstemp(suffix=".zip", prefix="fnnt_download_")
+    os.close(fd)
+    try:
+        download_file(url, tmp)
+        print("Download finished. Extracting...")
+        install_model_from_zip_file(tmp)
+        print("Done")
+    finally:
+        if ffo.isfile(tmp):
+            os.remove(tmp)
+
+
 def export_entry():
     parser = argparse.ArgumentParser()
     parser.add_argument("dataset_name_or_id")
@@ -79,3 +120,12 @@ def install_entry():
     parser.add_argument("zip_file")
     args = parser.parse_args()
     install_model_from_zip_file(args.zip_file)
+
+
+def download_entry():
+    """nnUNetv2_download_pretrained_model_by_url parity (ref
+    model_sharing/entry_points.py)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("url")
+    args = parser.parse_args()
+    download_and_install_from_url(args.url)
