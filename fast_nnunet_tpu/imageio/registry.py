@@ -9,10 +9,11 @@ from .nifti import (NibabelIO, NibabelIOWithReorient, NiftiIO,
 from .nrrd import NrrdIO
 from .mha import MhaIO
 from .tiff import Tiff3DIO
+from .dicom import DicomIO
 
 _ALL_RW = [NiftiIO, SimpleITKIO, NibabelIO, NiftiIOWithReorient,
            SimpleITKIOWithReorient, NibabelIOWithReorient, NaturalImage2DIO,
-           NrrdIO, MhaIO, Tiff3DIO]
+           NrrdIO, MhaIO, Tiff3DIO, DicomIO]
 _BY_NAME = {cls.__name__: cls for cls in _ALL_RW}
 
 
@@ -28,7 +29,7 @@ def determine_reader_writer_from_file_ending(file_ending: str,
     fe = file_ending.lower()
     if not fe.startswith("."):
         fe = "." + fe
-    for cls in (NiftiIO, NrrdIO, MhaIO, Tiff3DIO, NaturalImage2DIO):
+    for cls in (NiftiIO, NrrdIO, MhaIO, Tiff3DIO, NaturalImage2DIO, DicomIO):
         if fe in cls.supported_file_endings or (
                 fe == ".gz" and ".nii.gz" in cls.supported_file_endings):
             return cls
