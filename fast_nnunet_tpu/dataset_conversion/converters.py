@@ -193,6 +193,202 @@ def convert_acdc(src_data_folder: str, dataset_id: int = 27,
     return out
 
 
+# --------------------------------------------------------------- ToothFairy2
+def toothfairy2_label_mapping() -> dict:
+    """FDI tooth numbering (11-18, 21-28, 31-38, 41-48) + jaw structures 1-18
+    -> consecutive labels (ref Dataset119_ToothFairy2_All.py mapping_DS119:
+    each quadrant's gap of 2 collapses)."""
+    mapping = {i: i for i in range(1, 19)}
+    for q, off in ((21, 2), (31, 4), (41, 6)):
+        mapping.update({i: i - off for i in range(q, q + 8)})
+    return mapping
+
+
+def convert_toothfairy2(src_data_folder: str, dataset_id: int = 119,
+                        name: str = "ToothFairy2_All") -> str:
+    """ToothFairy2 CBCT (.mha images/labels): compact the sparse FDI label ids
+    and convert to NIfTI."""
+    from ..imageio.mha import MhaIO
+    out = _out_base(dataset_id, name)
+    mapping = toothfairy2_label_mapping()
+    rw = MhaIO()
+    imgs = subfiles(join(src_data_folder, "imagesTr"), suffix=".mha",
+                    join_path=False)
+    for f in imgs:
+        data, props = rw.read_images([join(src_data_folder, "imagesTr", f)])
+        case = f[:-len(".mha")]
+        if case.endswith("_0000"):
+            case = case[:-5]
+        write_nifti(join(out, "imagesTr", f"{case}_0000.nii.gz"),
+                    np.ascontiguousarray(data[0].transpose(2, 1, 0)),
+                    spacing=tuple(props["spacing"][::-1]))
+        seg, sprops = rw.read_seg(
+            join(src_data_folder, "labelsTr", f"{case}.mha"))
+        remapped = np.zeros_like(seg[0], dtype=np.uint8)
+        for src, dst in mapping.items():
+            remapped[seg[0] == src] = dst
+        write_nifti(join(out, "labelsTr", f"{case}.nii.gz"),
+                    np.ascontiguousarray(remapped.transpose(2, 1, 0)),
+                    spacing=tuple(sprops["spacing"][::-1]))
+    labels = {"background": 0}
+    labels.update({f"structure_{v}": v for v in sorted(set(mapping.values()))})
+    generate_dataset_json(out, channel_names={0: "CBCT"}, labels=labels,
+                          num_training_cases=len(imgs), file_ending=".nii.gz")
+    return out
+
+
+# ------------------------------------------------------------- AbdomenAtlas
+def convert_abdomenatlas(src_data_folder: str, dataset_id: int = 224,
+                         name: str = "AbdomenAtlas1.0") -> str:
+    """AbdomenAtlas1.0(Mini): per-case folders BDMAP* with ct.nii.gz +
+    combined_labels.nii.gz, 9 abdominal organs (ref
+    Dataset224_AbdomenAtlas1.0.py)."""
+    out = _out_base(dataset_id, name)
+    cases = subdirs(src_data_folder, prefix="BDMAP", join_path=False)
+    for c in cases:
+        shutil.copy(join(src_data_folder, c, "ct.nii.gz"),
+                    join(out, "imagesTr", f"{c}_0000.nii.gz"))
+        shutil.copy(join(src_data_folder, c, "combined_labels.nii.gz"),
+                    join(out, "labelsTr", f"{c}.nii.gz"))
+    generate_dataset_json(
+        out, channel_names={0: "nonCT"},  # ref uses nonCT: data is prenormalized
+        labels={"background": 0, "aorta": 1, "gall_bladder": 2,
+                "kidney_left": 3, "kidney_right": 4, "liver": 5, "pancreas": 6,
+                "postcava": 7, "spleen": 8, "stomach": 9},
+        num_training_cases=len(cases), file_ending=".nii.gz")
+    return out
+
+
+# ------------------------------------------------------------------- RibFrac
+def convert_ribfrac(src_data_folder: str, dataset_id: int = 15,
+                    name: str = "RibFrac") -> str:
+    """RibFrac fracture detection: one flat folder of <case>-image.nii.gz and
+    <case>-label.nii.gz; label -1 (undefined fracture type) becomes class 5 and
+    'fracture' is the union region (ref Dataset015_018_RibFrac_RibSeg.py)."""
+    out = _out_base(dataset_id, name)
+    maybe_mkdir_p(join(out, "imagesTs"))
+    images = subfiles(src_data_folder, suffix="-image.nii.gz", join_path=False)
+    n_tr = 0
+    for f in images:
+        case = f[:-len("-image.nii.gz")]
+        seg_file = join(src_data_folder, f"{case}-label.nii.gz")
+        if not subfiles(src_data_folder, prefix=f"{case}-label",
+                        join_path=False):
+            shutil.copy(join(src_data_folder, f),
+                        join(out, "imagesTs", f"{case}_0000.nii.gz"))
+            continue
+        n_tr += 1
+        shutil.copy(join(src_data_folder, f),
+                    join(out, "imagesTr", f"{case}_0000.nii.gz"))
+        seg, hdr = read_nifti(seg_file)
+        seg = seg.astype(np.int16)
+        seg[seg == -1] = 5
+        write_nifti(join(out, "labelsTr", f"{case}.nii.gz"),
+                    seg.astype(np.uint8), header=hdr)
+    generate_dataset_json(
+        out, channel_names={0: "CT"},
+        labels={"background": 0, "fracture": (1, 2, 3, 4, 5),
+                "displaced rib fracture": 1, "non-displaced rib fracture": 2,
+                "buckle rib fracture": 3, "segmental rib fracture": 4},
+        num_training_cases=n_tr, file_ending=".nii.gz",
+        regions_class_order=(5, 1, 2, 3, 4))
+    return out
+
+
+def convert_ribseg(src_data_folder: str, dataset_id: int = 18,
+                   name: str = "RibSeg") -> str:
+    """RibSeg rib segmentation (labels 1-24, one per rib), images shared with
+    RibFrac; segs end with -rib-seg.nii.gz (ref Dataset015_018 part 2)."""
+    out = _out_base(dataset_id, name)
+    segs = subfiles(src_data_folder, suffix="-rib-seg.nii.gz", join_path=False)
+    n = 0
+    for f in segs:
+        case = f[:-len("-rib-seg.nii.gz")]
+        img = join(src_data_folder, f"{case}-image.nii.gz")
+        if not subfiles(src_data_folder, prefix=f"{case}-image",
+                        join_path=False):
+            continue
+        n += 1
+        shutil.copy(img, join(out, "imagesTr", f"{case}_0000.nii.gz"))
+        shutil.copy(join(src_data_folder, f),
+                    join(out, "labelsTr", f"{case}.nii.gz"))
+    generate_dataset_json(
+        out, channel_names={0: "CT"},
+        labels={"background": 0, **{f"rib_{i}": i for i in range(1, 25)}},
+        num_training_cases=n, file_ending=".nii.gz")
+    return out
+
+
+# --------------------------------------------------- TotalSegmentator MRI
+def convert_totalsegmentator_mri(src_data_folder: str, dataset_id: int = 227,
+                                 name: str = "TotalSegmentatorMRI") -> str:
+    """TotalSegmentator MRI: per-case folders with mri.nii.gz and a
+    segmentations/ directory of one binary mask per structure; masks merge
+    into one labelmap in the discovered structure order (ref
+    Dataset227_TotalSegmentatorMRI.py)."""
+    out = _out_base(dataset_id, name)
+    cases = subdirs(src_data_folder, join_path=False)
+    structures = [f[:-len(".nii.gz")] for f in subfiles(
+        join(src_data_folder, cases[0], "segmentations"), suffix=".nii.gz",
+        join_path=False)]
+    label_dict = {s: i + 1 for i, s in enumerate(structures)}
+    for c in cases:
+        shutil.copy(join(src_data_folder, c, "mri.nii.gz"),
+                    join(out, "imagesTr", f"{c}_0000.nii.gz"))
+        merged, hdr = None, None
+        for s in structures:
+            mask, h = read_nifti(join(src_data_folder, c, "segmentations",
+                                      f"{s}.nii.gz"))
+            if merged is None:
+                merged, hdr = np.zeros_like(mask, dtype=np.uint8), h
+            merged[mask > 0] = label_dict[s]
+        write_nifti(join(out, "labelsTr", f"{c}.nii.gz"), merged, header=hdr)
+    generate_dataset_json(
+        out, channel_names={0: "MRI"},
+        labels={"background": 0, **label_dict},
+        num_training_cases=len(cases), file_ending=".nii.gz",
+        overwrite_image_reader_writer="NibabelIOWithReorient")
+    return out
+
+
+# ------------------------------------------------------------------ AutoPET
+def convert_autopet2(src_data_folder: str, dataset_id: int = 221,
+                     name: str = "AutoPETII_2023") -> str:
+    """AutoPET-II PET/CT: PETCT_*/acquisition/ folders with CTres/SUV/SEG;
+    two input channels, plus a 5-fold split that keeps every patient's
+    acquisitions in the same fold (ref Dataset221_AutoPETII_2023.py)."""
+    out = _out_base(dataset_id, name)
+    patients = subdirs(src_data_folder, prefix="PETCT", join_path=False)
+    identifiers = []
+    for pat in patients:
+        for acq in subdirs(join(src_data_folder, pat), join_path=False):
+            ident = f"{pat}_{acq}"
+            identifiers.append(ident)
+            src = join(src_data_folder, pat, acq)
+            shutil.copy(join(src, "CTres.nii.gz"),
+                        join(out, "imagesTr", f"{ident}_0000.nii.gz"))
+            shutil.copy(join(src, "SUV.nii.gz"),
+                        join(out, "imagesTr", f"{ident}_0001.nii.gz"))
+            shutil.copy(join(src, "SEG.nii.gz"),
+                        join(out, "labelsTr", f"{ident}.nii.gz"))
+    generate_dataset_json(
+        out, channel_names={0: "CT", 1: "CT"},  # ref normalizes SUV CT-style
+        labels={"background": 0, "tumor": 1},
+        num_training_cases=len(identifiers), file_ending=".nii.gz")
+    # per-patient split: all acquisitions of a patient share a fold
+    splits = []
+    for fold in range(5):
+        val_pat = set(patients[fold::5])
+        splits.append({
+            "train": [i for i in identifiers
+                      if not any(i.startswith(p) for p in val_pat)],
+            "val": [i for i in identifiers
+                    if any(i.startswith(p) for p in val_pat)],
+        })
+    save_json(splits, join(out, "splits_final.json"), sort_keys=False)
+    return out
+
+
 # ----------------------------------------------------- old nnU-Net v1 layout
 def convert_old_nnunet_task(source_folder: str, target_dataset_name: str) -> str:
     """TaskXXX_YYY (nnU-Net v1 raw) -> DatasetXXX_YYY (v2): copies the image/
@@ -221,6 +417,12 @@ _CONVERTERS = {
     "amos_task1": convert_amos_task1,
     "amos_task2": convert_amos_task2,
     "acdc": convert_acdc,
+    "toothfairy2": convert_toothfairy2,
+    "abdomenatlas": convert_abdomenatlas,
+    "ribfrac": convert_ribfrac,
+    "ribseg": convert_ribseg,
+    "totalsegmentator_mri": convert_totalsegmentator_mri,
+    "autopet2": convert_autopet2,
 }
 
 

@@ -295,7 +295,9 @@ class S2DPlainConvUNet:
                 seg = _seg_head_grouped(
                     x, dec[f"seg_head_{d}"]["kernel"],
                     dec[f"seg_head_{d}"].get("bias"), self.num_classes)
-                return depth_to_space(seg).astype(jnp.float32)
+                # stay in compute dtype: the engine casts to its accumulator
+                # dtype anyway, and a fp32 (B,96,96,160,61) temp is ~3 GB HBM
+                return depth_to_space(seg)
         raise AssertionError("unreachable")
 
     @staticmethod

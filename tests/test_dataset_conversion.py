@@ -5,8 +5,9 @@ import numpy as np
 import pytest
 
 from fast_nnunet_tpu.dataset_conversion.converters import (
-    convert_acdc, convert_brats21, convert_brats_labels_back,
-    convert_kits2023, convert_old_nnunet_task)
+    convert_abdomenatlas, convert_acdc, convert_autopet2, convert_brats21,
+    convert_brats_labels_back, convert_kits2023, convert_old_nnunet_task,
+    convert_ribfrac, convert_ribseg, convert_totalsegmentator_mri)
 from fast_nnunet_tpu.imageio.nifti import read_nifti, write_nifti
 from fast_nnunet_tpu.utils.io import (join, load_json, maybe_mkdir_p,
                                       save_json, subfiles)
@@ -108,3 +109,108 @@ def test_old_nnunet_task(raw_env):
     # refuses to overwrite
     with pytest.raises(RuntimeError):
         convert_old_nnunet_task(src, "Dataset942_Old")
+
+
+def test_ribfrac_and_ribseg(raw_env):
+    raw, tmp = raw_env
+    src = join(tmp, "rib_src")
+    maybe_mkdir_p(src)
+    rng = np.random.RandomState(3)
+    for c in ("RibFrac1", "RibFrac2"):
+        _write_vol(join(src, f"{c}-image.nii.gz"), rng.rand(6, 6, 6))
+        seg = rng.choice([0, 1, 2, 3, 4, -1], size=(6, 6, 6)).astype(np.int16)
+        write_nifti(join(src, f"{c}-label.nii.gz"), seg)
+        write_nifti(join(src, f"{c}-rib-seg.nii.gz"),
+                    rng.choice(25, size=(6, 6, 6)).astype(np.uint8))
+    # a test case: image without label
+    _write_vol(join(src, "RibFrac9-image.nii.gz"), rng.rand(6, 6, 6))
+
+    out = convert_ribfrac(src, dataset_id=915, name="RibFracTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert list(dj["labels"]["fracture"]) == [1, 2, 3, 4, 5]
+    seg_conv, _ = read_nifti(join(out, "labelsTr", "RibFrac1.nii.gz"))
+    assert set(np.unique(seg_conv)) <= {0, 1, 2, 3, 4, 5}
+    assert -1 not in np.unique(seg_conv)
+    assert len(subfiles(join(out, "imagesTs"), suffix=".nii.gz")) == 1
+
+    out2 = convert_ribseg(src, dataset_id=918, name="RibSegTest")
+    dj2 = load_json(join(out2, "dataset.json"))
+    assert dj2["labels"]["rib_24"] == 24
+    assert len(subfiles(join(out2, "imagesTr"), suffix=".nii.gz")) == 2
+
+
+def test_abdomenatlas(raw_env):
+    raw, tmp = raw_env
+    src = join(tmp, "aa_src")
+    rng = np.random.RandomState(4)
+    for c in ("BDMAP_0001", "BDMAP_0002"):
+        maybe_mkdir_p(join(src, c))
+        _write_vol(join(src, c, "ct.nii.gz"), rng.rand(5, 5, 5))
+        write_nifti(join(src, c, "combined_labels.nii.gz"),
+                    rng.choice(10, size=(5, 5, 5)).astype(np.uint8))
+    out = convert_abdomenatlas(src, dataset_id=924, name="AATest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"]["stomach"] == 9
+    assert len(subfiles(join(out, "imagesTr"), suffix=".nii.gz")) == 2
+
+
+def test_totalsegmentator_mri(raw_env):
+    raw, tmp = raw_env
+    src = join(tmp, "tsm_src")
+    rng = np.random.RandomState(5)
+    for c in ("s0001", "s0002"):
+        maybe_mkdir_p(join(src, c, "segmentations"))
+        _write_vol(join(src, c, "mri.nii.gz"), rng.rand(5, 5, 5))
+        for s in ("liver", "spleen"):
+            write_nifti(join(src, c, "segmentations", f"{s}.nii.gz"),
+                        (rng.rand(5, 5, 5) > 0.7).astype(np.uint8))
+    out = convert_totalsegmentator_mri(src, dataset_id=927, name="TSMTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"] == {"background": 0, "liver": 1, "spleen": 2}
+    assert dj["overwrite_image_reader_writer"] == "NibabelIOWithReorient"
+    seg, _ = read_nifti(join(out, "labelsTr", "s0001.nii.gz"))
+    assert set(np.unique(seg)) <= {0, 1, 2}
+
+
+def test_autopet2(raw_env):
+    raw, tmp = raw_env
+    src = join(tmp, "pet_src")
+    rng = np.random.RandomState(6)
+    for pat in ("PETCT_a", "PETCT_b"):
+        for acq in ("01", "02"):
+            d = join(src, pat, acq)
+            maybe_mkdir_p(d)
+            _write_vol(join(d, "CTres.nii.gz"), rng.rand(4, 4, 4))
+            _write_vol(join(d, "SUV.nii.gz"), rng.rand(4, 4, 4))
+            write_nifti(join(d, "SEG.nii.gz"),
+                        (rng.rand(4, 4, 4) > 0.8).astype(np.uint8))
+    out = convert_autopet2(src, dataset_id=921, name="PETTest")
+    assert len(subfiles(join(out, "imagesTr"), suffix=".nii.gz")) == 8
+    splits = load_json(join(out, "splits_final.json"))
+    assert len(splits) == 5
+    # all acquisitions of one patient share a fold
+    for sp in splits:
+        val_pats = {v.rsplit("_", 1)[0] for v in sp["val"]}
+        tr_pats = {t.rsplit("_", 1)[0] for t in sp["train"]}
+        assert not (val_pats & tr_pats)
+
+
+def test_toothfairy2(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import (
+        convert_toothfairy2, toothfairy2_label_mapping)
+    from fast_nnunet_tpu.imageio.mha import write_mha
+    raw, tmp = raw_env
+    src = join(tmp, "tf_src")
+    maybe_mkdir_p(join(src, "imagesTr"))
+    maybe_mkdir_p(join(src, "labelsTr"))
+    rng = np.random.RandomState(7)
+    write_mha(join(src, "imagesTr", "ToothFairy2F_001_0000.mha"),
+              rng.rand(6, 6, 6).astype(np.float32), (1.0, 1.0, 1.0))
+    seg = rng.choice([0, 1, 11, 21, 31, 41, 48], size=(6, 6, 6)).astype(np.uint8)
+    write_mha(join(src, "labelsTr", "ToothFairy2F_001.mha"), seg, (1.0, 1.0, 1.0))
+
+    out = convert_toothfairy2(src, dataset_id=919, name="TFTest")
+    m = toothfairy2_label_mapping()
+    assert m[11] == 11 and m[21] == 19 and m[31] == 27 and m[41] == 35 and m[48] == 42
+    conv, _ = read_nifti(join(out, "labelsTr", "ToothFairy2F_001.nii.gz"))
+    assert set(np.unique(conv)) <= {0, 1, 11, 19, 27, 35, 42}
