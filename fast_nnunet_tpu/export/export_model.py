@@ -85,11 +85,19 @@ def export_model_folder_to_artifact(
     with open(artifact_path, "wb") as f:
         f.write(blob)
 
+    # raw StableHLO module bytecode alongside the jax.export blob: this is
+    # what a bare PJRT runtime (libtpu / the C++ engine's pjrt_backend)
+    # compiles directly via PJRT_Client_Compile(format="mlir") — the TPU
+    # analogue of the reference handing its ONNX file to trtexec
+    with open(join(output_folder, "model_pjrt.mlir"), "wb") as f:
+        f.write(exported.mlir_module_serialized)
+
     # metadata sidecar: everything the native engine / inferencer needs
     norm_props = plans_manager.foreground_intensity_properties_per_channel
     meta = {
         "framework": "fast-nnunet-tpu",
         "artifact": "model.stablehlo",
+        "pjrt_artifact": "model_pjrt.mlir",
         "input_layout": "B * spatial * C (channels-last)",
         "input_shape": [batch_size, *patch, num_in],
         "compute_dtype": dtype,

@@ -15,6 +15,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .init import he_normal_init
@@ -49,24 +50,51 @@ class InstanceNorm(nn.Module):
 
 
 class BatchStatsNorm(nn.Module):
-    """BatchNorm over (batch, *spatial) using the CURRENT batch's statistics at
-    train and eval — the semantics of torch BatchNorm in train mode. Running
-    averages would need a mutable state collection through every jitted step;
-    until then this stateless form backs NNUNetTrainerBN (ref variants/
-    network_architecture/nnUNetTrainerBN.py swaps norm_op to BatchNorm3d)."""
+    """BatchNorm with running averages (torch BatchNorm3d parity, backing
+    NNUNetTrainerBN — ref variants/network_architecture/nnUNetTrainerBN.py:8-35
+    swaps norm_op to the matching BatchNorm class).
+
+    Train/eval mode is inferred from collection mutability instead of a flag
+    threaded through every module signature: when the caller applies with
+    ``mutable=["batch_stats"]`` (the jitted train step does), the CURRENT
+    batch's statistics normalize and the running averages update with torch's
+    rule ``ra = (1 - momentum) * ra + momentum * batch`` (variance update uses
+    the unbiased estimate, normalization the biased one — exactly torch). A
+    plain ``apply`` (val step, sliding-window engine, export) normalizes with
+    the stored running averages — torch ``.eval()`` semantics.
+
+    Under the data-sharded jitted step the batch mean/var reduce over the
+    GLOBAL batch (XLA inserts the cross-device collective) — i.e. SyncBN
+    rather than torch DDP's per-device stats; same expectation, lower variance.
+    Statistics are kept and computed in fp32 regardless of compute dtype."""
     eps: float = 1e-5
     affine: bool = True
+    momentum: float = 0.1  # torch convention: weight of the NEW batch statistic
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         orig_dtype = x.dtype
-        axes = tuple(range(x.ndim - 1))  # batch + spatial
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        training = self.is_mutable_collection("batch_stats")
         x32 = x.astype(jnp.float32)
-        mean = x32.mean(axis=axes, keepdims=True)
-        var = x32.var(axis=axes, keepdims=True)
+        if training:
+            axes = tuple(range(x.ndim - 1))  # batch + spatial
+            mean = x32.mean(axis=axes)
+            var = x32.var(axis=axes)
+            if not self.is_initializing():
+                n = np.prod([x.shape[a] for a in axes])
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
-            c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
             y = y * scale + bias

@@ -31,7 +31,8 @@ from ..utils.io import isfile, join, load_json, subdirs
 from .checkpoint import load_checkpoint as load_ckpt_file
 from .checkpoint import restore_params, restore_params_partial, save_checkpoint
 from .losses import deep_supervision_weights, deep_supervised_loss
-from .train_step import TrainState, create_train_state, make_loss_fn
+from .train_step import (TrainState, create_train_state, make_loss_fn,
+                         split_trainable)
 from .trainer import NNUNetTrainer
 
 
@@ -77,9 +78,15 @@ def make_distill_train_step(student_net, teacher_net, optimizer, *,
         total, _ = jax.lax.scan(body, first, rest)
         return total / n_teachers
 
-    def loss_of(params, teacher_stacked, data, targets):
-        outputs = student_net.apply(params, data.astype(compute_dtype),
-                                    deep_supervision=n_ds_levels > 1)
+    def loss_of(trainable, aux, teacher_stacked, data, targets):
+        if aux:  # batch_stats student: train-mode apply, collect updated stats
+            outputs, new_aux = student_net.apply(
+                {**trainable, **aux}, data.astype(compute_dtype),
+                deep_supervision=n_ds_levels > 1, mutable=list(aux.keys()))
+        else:
+            outputs = student_net.apply(trainable, data.astype(compute_dtype),
+                                        deep_supervision=n_ds_levels > 1)
+            new_aux = aux
         if n_ds_levels == 1:
             outputs = (outputs,)
         seg_loss = deep_supervised_loss(base_loss, outputs, targets, ds_w)
@@ -87,13 +94,14 @@ def make_distill_train_step(student_net, teacher_net, optimizer, *,
             teacher_forward(teacher_stacked, data))
         dloss = distillation_loss(outputs[0], teacher_logits, temperature)
         total = (1.0 - alpha) * seg_loss + alpha * dloss
-        return total, (seg_loss, dloss)
+        return total, (seg_loss, dloss, new_aux)
 
     def step(state: TrainState, teacher_stacked, data, targets):
-        (total, (seg_loss, dloss)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params, teacher_stacked, data, targets)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        trainable, aux = split_trainable(state.params)
+        (total, (seg_loss, dloss, new_aux)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(trainable, aux, teacher_stacked, data, targets)
+        updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
+        new_params = {**optax.apply_updates(trainable, updates), **new_aux}
         return (TrainState(step=state.step + 1, params=new_params,
                            opt_state=new_opt), total, seg_loss, dloss)
 

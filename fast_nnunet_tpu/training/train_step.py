@@ -26,9 +26,20 @@ class TrainState:
     opt_state: Any
 
 
+def split_trainable(variables):
+    """Split a flax variables dict into (trainable, aux_state): aux_state
+    carries non-differentiable collections (batch_stats for BatchStatsNorm
+    networks — see models/blocks.py); empty for the InstanceNorm default."""
+    if isinstance(variables, dict) and "params" in variables and len(variables) > 1:
+        aux = {k: v for k, v in variables.items() if k != "params"}
+        return {"params": variables["params"]}, aux
+    return variables, {}
+
+
 def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    trainable, _ = split_trainable(params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=optimizer.init(params))
+                      opt_state=optimizer.init(trainable))
 
 
 def make_loss_fn(*, has_regions: bool, has_ignore: bool,
@@ -59,17 +70,25 @@ def make_train_step(network, optimizer: optax.GradientTransformation, *,
     ds_w = tuple(deep_supervision_weights(n_ds_levels).tolist()) \
         if n_ds_levels > 1 else (1.0,)
 
-    def loss_of(params, data, targets):
-        outputs = network.apply(params, data.astype(compute_dtype),
-                                deep_supervision=n_ds_levels > 1)
+    def loss_of(trainable, aux, data, targets):
+        if aux:  # batch_stats network: train-mode apply, collect updated stats
+            outputs, new_aux = network.apply(
+                {**trainable, **aux}, data.astype(compute_dtype),
+                deep_supervision=n_ds_levels > 1, mutable=list(aux.keys()))
+        else:
+            outputs = network.apply(trainable, data.astype(compute_dtype),
+                                    deep_supervision=n_ds_levels > 1)
+            new_aux = aux
         if n_ds_levels == 1:
             outputs = (outputs,)
-        return deep_supervised_loss(base_loss, outputs, targets, ds_w)
+        return deep_supervised_loss(base_loss, outputs, targets, ds_w), new_aux
 
     def step(state: TrainState, data, targets) -> Tuple[TrainState, jnp.ndarray]:
-        loss, grads = jax.value_and_grad(loss_of)(state.params, data, targets)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        trainable, aux = split_trainable(state.params)
+        (loss, new_aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            trainable, aux, data, targets)
+        updates, new_opt = optimizer.update(grads, state.opt_state, trainable)
+        new_params = {**optax.apply_updates(trainable, updates), **new_aux}
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=new_opt), loss
 

@@ -509,8 +509,10 @@ class NNUNetTrainerAdanCosAnneal(NNUNetTrainerAdan):
 class NNUNetTrainerBN(NNUNetTrainer):
     """BatchNorm instead of InstanceNorm (ref variants/network_architecture/
     nnUNetTrainerBN.py:8-35 swaps norm_op to the matching BatchNorm class).
-    Our BatchStatsNorm uses current-batch statistics at train AND eval
-    (running averages need a mutable state collection; see models/blocks.py)."""
+    BatchStatsNorm keeps torch-parity running averages in a mutable
+    batch_stats collection: the jitted train step threads it through
+    TrainState.params (see train_step.split_trainable), checkpoints carry it,
+    and eval/inference normalizes with the stored running statistics."""
 
     def build_network_architecture(self):
         import copy

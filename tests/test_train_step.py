@@ -93,3 +93,76 @@ def test_batch_dice_matches_across_shardings():
     batch = shard_batch(mesh, (jnp.asarray(data),) + targets)
     _, loss_sharded = jstep(state_r, batch[0], batch[1:])
     np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-5)
+
+
+# --------------------------------------------------------------- batch_stats BN
+def _setup_bn(batch=2):
+    kw = dict(KW, norm_op="torch.nn.modules.batchnorm.BatchNorm3d",
+              norm_op_kwargs={"eps": 1e-5, "affine": True})
+    net = get_network_from_plans("PlainConvUNet", kw, (), 1, K)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *PATCH, 1)),
+                      deep_supervision=True)
+    opt = nnunet_sgd(poly_lr_jax(1e-2, 100))
+    state = create_train_state(params, opt)
+    step = make_train_step(net, opt, batch_dice=True, n_ds_levels=2)
+    rng = np.random.RandomState(0)
+    data = rng.rand(batch, *PATCH, 1).astype(np.float32)
+    y = (data[..., 0] > 0.5).astype(np.int32)
+    return net, state, step, (jnp.asarray(data),
+                              (jnp.asarray(y), jnp.asarray(y[:, ::2, ::2, ::2])))
+
+
+def test_bn_network_has_running_stats_and_updates_them():
+    net, state, step, (data, targets) = _setup_bn()
+    assert "batch_stats" in state.params
+    means0 = jax.tree_util.tree_map(np.asarray, state.params["batch_stats"])
+    state2, loss = jax.jit(step)(state, data, targets)
+    assert np.isfinite(float(loss))
+    # running averages moved toward the batch statistics (torch momentum 0.1)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        means0, jax.tree_util.tree_map(np.asarray, state2.params["batch_stats"]))
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    # the optimizer never sees batch_stats: momentum slots (the only
+    # non-scalar opt-state leaves) exist for trainable params only
+    n_momentum = sum(1 for l in jax.tree_util.tree_leaves(state2.opt_state)
+                     if getattr(l, "ndim", 0) >= 1)
+    n_params = len(jax.tree_util.tree_leaves(state2.params["params"]))
+    n_stats = len(jax.tree_util.tree_leaves(state2.params["batch_stats"]))
+    assert n_stats > 0 and n_momentum == n_params
+
+
+def test_bn_eval_uses_running_averages():
+    net, state, step, (data, targets) = _setup_bn()
+    jstep = jax.jit(step)
+    for _ in range(5):
+        state, _ = jstep(state, data, targets)
+    # eval (plain apply) normalizes with running stats: deterministic and
+    # batch-size independent
+    out_full = net.apply(state.params, data, deep_supervision=False)
+    out_one = net.apply(state.params, data[:1], deep_supervision=False)
+    np.testing.assert_allclose(np.asarray(out_full[:1]), np.asarray(out_one),
+                               rtol=2e-4, atol=2e-4)
+    # and differs from train-mode (current-batch) normalization
+    out_train, _ = net.apply(state.params, data, deep_supervision=False,
+                             mutable=["batch_stats"])
+    assert float(np.abs(np.asarray(out_train) - np.asarray(out_full)).max()) > 1e-4
+
+
+def test_bn_checkpoint_roundtrip_carries_stats(tmp_path):
+    from fast_nnunet_tpu.training.checkpoint import (load_checkpoint,
+                                                     restore_params,
+                                                     save_checkpoint)
+    net, state, step, (data, targets) = _setup_bn()
+    state, _ = jax.jit(step)(state, data, targets)
+    f = str(tmp_path / "ck.fnnx")
+    save_checkpoint(f, network_weights=jax.device_get(state.params))
+    ck = load_checkpoint(f)
+    template = jax.device_get(net.init(jax.random.PRNGKey(1),
+                                       jnp.zeros((1, *PATCH, 1)),
+                                       deep_supervision=True))
+    restored = restore_params(template, ck["network_weights"])
+    a = jax.tree_util.tree_leaves(restored["batch_stats"])
+    b = jax.tree_util.tree_leaves(jax.device_get(state.params)["batch_stats"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
