@@ -46,6 +46,13 @@ class Backend {
 
 std::unique_ptr<Backend> make_null_backend();
 std::unique_ptr<Backend> make_http_backend(const std::string& host, int port);
+// In-process PJRT runtime: dlopen a PJRT plugin (libtpu.so on a TPU host; the
+// pyshim in tests), compile the exported StableHLO module (model_pjrt.mlir,
+// weights baked in), drive the sliding window from C++ — no daemon.
+// bf16_input must match the dtype the artifact was exported with.
+std::unique_ptr<Backend> make_pjrt_backend(const std::string& plugin_path,
+                                           const std::string& artifact_path,
+                                           bool bf16_input = true);
 
 namespace FastnnUNet {
 

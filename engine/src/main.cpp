@@ -12,15 +12,20 @@ namespace {
 void usage(const char* prog) {
     std::cerr << "usage: " << prog
               << " --config model.ini --input ct.nii.gz --output mask.nii.gz\n"
-              << "        [--endpoint host:port] [--workspace dir] [--verbose]\n"
-              << "\nWithout --endpoint the null backend runs (pipeline test: "
-                 "all-background mask).\n";
+              << "        [--endpoint host:port] [--pjrt plugin.so "
+                 "--artifact model_pjrt.mlir [--fp32-input]]\n"
+              << "        [--workspace dir] [--verbose]\n"
+              << "\nBackends: --pjrt loads the StableHLO artifact in-process "
+                 "via the given PJRT\nplugin (libtpu.so on a TPU host); "
+                 "--endpoint posts to the serving daemon;\nneither runs the "
+                 "null backend (pipeline test: all-background mask).\n";
 }
 }  // namespace
 
 int main(int argc, char** argv) {
     std::string config, input, output, endpoint, workspace = ".";
-    bool verbose = false;
+    std::string pjrt_plugin, artifact;
+    bool verbose = false, fp32_input = false;
     for (int i = 1; i < argc; ++i) {
         std::string a = argv[i];
         auto next = [&](const char* what) -> std::string {
@@ -34,6 +39,9 @@ int main(int argc, char** argv) {
         else if (a == "--input") input = next("--input");
         else if (a == "--output") output = next("--output");
         else if (a == "--endpoint") endpoint = next("--endpoint");
+        else if (a == "--pjrt") pjrt_plugin = next("--pjrt");
+        else if (a == "--artifact") artifact = next("--artifact");
+        else if (a == "--fp32-input") fp32_input = true;
         else if (a == "--workspace") workspace = next("--workspace");
         else if (a == "--verbose") verbose = true;
         else if (a == "--help" || a == "-h") { usage(argv[0]); return 0; }
@@ -48,7 +56,12 @@ int main(int argc, char** argv) {
         fast_nnunet::FastnnUNet::Engine engine;
         engine.set_config(config);
         engine.set_workspace(workspace, verbose);
-        if (!endpoint.empty()) {
+        if (!pjrt_plugin.empty()) {
+            if (artifact.empty())
+                throw std::runtime_error("--pjrt needs --artifact");
+            engine.set_backend(fast_nnunet::make_pjrt_backend(
+                pjrt_plugin, artifact, !fp32_input));
+        } else if (!endpoint.empty()) {
             auto colon = endpoint.rfind(':');
             if (colon == std::string::npos)
                 throw std::runtime_error("--endpoint must be host:port");

@@ -15,6 +15,7 @@
 // the entry points pjrt_backend.cpp uses are populated; everything else in
 // the PJRT_Api table is null.
 #include <Python.h>
+#include <dlfcn.h>
 
 #include <cstring>
 #include <mutex>
@@ -66,8 +67,18 @@ PJRT_Error* python_error(const char* where) {
 const char kPyHelper[] = R"PY(
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
-import numpy as np
-import ml_dtypes
+# single-device test double: drop any inherited virtual-device-count flag
+os.environ["XLA_FLAGS"] = " ".join(
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f)
+try:
+    import numpy as np
+    import ml_dtypes
+except Exception:
+    import sys
+    import traceback
+    raise RuntimeError(
+        f"exe={sys.executable!r} path={sys.path!r}\n{traceback.format_exc()}")
 
 _DTYPES = {
     "f32": np.float32, "bf16": ml_dtypes.bfloat16, "f16": np.float16,
@@ -105,9 +116,7 @@ def compile_mlir(code):
 
 
 def num_outputs(h):
-    mods = _objs[h].hlo_modules()
-    shape = mods[0].result_shape()
-    return len(shape.tuple_shapes()) if shape.is_tuple() else 1
+    return len(_objs[h].get_output_layouts())
 
 
 def buffer_from_bytes(data, dtype, dims):
@@ -151,6 +160,14 @@ class Gil {
 PJRT_Error* ensure_python() {
     std::lock_guard<std::mutex> lock(g_mu);
     if (g_ns) return nullptr;
+    // The shim is usually dlopen'd RTLD_LOCAL (the standard way to load a
+    // PJRT plugin), which keeps libpython's symbols out of the global
+    // namespace — but Python C-extension modules (numpy etc.) link against
+    // the interpreter's exported symbols. Promote the already-mapped
+    // libpython to RTLD_GLOBAL before initializing.
+    if (!dlopen(PYSHIM_LIBPYTHON_SONAME,
+                RTLD_NOW | RTLD_GLOBAL | RTLD_NOLOAD))
+        dlopen(PYSHIM_LIBPYTHON_SONAME, RTLD_NOW | RTLD_GLOBAL);
     if (!Py_IsInitialized()) Py_InitializeEx(0);
     Gil gil;
     PyObject* mod = PyImport_AddModule("__fnn_pjrt_shim__");  // borrowed

@@ -1,0 +1,135 @@
+"""In-process PJRT backend of the native engine: C++ -> PJRT C API -> StableHLO
+executable, no Python daemon (the TPU analogue of the reference engine running
+TensorRT in-process, ref engine/fast_nnunet.cpp:17-27).
+
+The engine binary dlopens a PJRT plugin; in CI that is the pyshim
+(libfnn_pjrt_pyshim.so, the PJRT ABI over jax's CPU runtime); on a TPU host it
+would be libtpu.so. Either way the C++ side is identical: compile
+model_pjrt.mlir, drive the sliding window, gaussian-accumulate, argmax."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+ENGINE_DIR = os.path.join(os.path.dirname(__file__), "..", "engine")
+BUILD_DIR = os.path.join(ENGINE_DIR, "build")
+
+KW = {"n_stages": 2, "features_per_stage": [4, 8],
+      "kernel_sizes": [[3, 3, 3]] * 2, "strides": [[1, 1, 1], [2, 2, 2]],
+      "n_conv_per_stage": [1, 1], "n_conv_per_stage_decoder": [1],
+      "nonlin": "torch.nn.LeakyReLU"}
+PATCH = (8, 8, 8)
+K = 3
+
+
+@pytest.fixture(scope="module")
+def built_engine():
+    if not os.path.isfile(os.path.join(BUILD_DIR, "fast_nnunet_engine")):
+        subprocess.run(["cmake", "-B", "build", "-G", "Ninja"], cwd=ENGINE_DIR,
+                       check=True, capture_output=True)
+        subprocess.run(["cmake", "--build", "build"], cwd=ENGINE_DIR, check=True,
+                       capture_output=True)
+    return BUILD_DIR
+
+
+@pytest.fixture(scope="module")
+def shim(built_engine):
+    path = os.path.join(built_engine, "libfnn_pjrt_pyshim.so")
+    if not os.path.isfile(path):
+        pytest.skip("pyshim not built (no Python dev environment)")
+    return path
+
+
+def _shim_env():
+    """Environment for the engine subprocess: the embedded interpreter needs
+    the venv's site-packages but must NOT pull in the axon sitecustomize
+    (which would register the tunnel backend inside the engine process)."""
+    import sysconfig
+    env = dict(os.environ)
+    env["PYTHONPATH"] = sysconfig.get_paths()["purelib"]
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _make_model(tmp_path):
+    import jax
+    import jax.export as jexport
+    import jax.numpy as jnp
+    from fast_nnunet_tpu.models.factory import get_network_from_plans
+
+    net = get_network_from_plans("PlainConvUNet", KW, (), 1, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *PATCH, 1)),
+                      deep_supervision=False)
+
+    def forward(x):
+        return net.apply(params, x, deep_supervision=False)
+
+    exported = jexport.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct((1, *PATCH, 1), jnp.float32))
+    artifact = str(tmp_path / "model_pjrt.mlir")
+    with open(artifact, "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    return net, params, artifact
+
+
+def test_pjrt_backend_matches_python_predictor(built_engine, shim, tmp_path):
+    """C++ PJRT sliding window must reproduce the Python engine's mask
+    voxel-for-voxel (identical fp32 network, same gaussian + tile grid)."""
+    import jax.numpy as jnp
+    from fast_nnunet_tpu.imageio.nifti import read_nifti, write_nifti
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+
+    net, params, artifact = _make_model(tmp_path)
+
+    img = (np.random.RandomState(1).rand(14, 12, 11) * 400).astype(np.float32)
+    ct = str(tmp_path / "ct.nii.gz")
+    write_nifti(ct, img, spacing=(1.0, 1.0, 1.0))
+    ini = str(tmp_path / "model.ini")
+    with open(ini, "w") as f:
+        f.write("[model]\nnum_class=3\n[input]\npatch_size=8x8x8\n"
+                "target_spacing=(1.0,1.0,1.0)\n"
+                "[preprocessing]\nmean=200\nstd=120\nlower_bound=0\n"
+                "upper_bound=400\n"
+                "[inference]\nstep_size=0.5\nuse_gaussian=true\n")
+    out = str(tmp_path / "mask.nii.gz")
+    r = subprocess.run(
+        [os.path.join(built_engine, "fast_nnunet_engine"), "--config", ini,
+         "--input", ct, "--output", out, "--pjrt", shim, "--artifact",
+         artifact, "--fp32-input"],
+        capture_output=True, text=True, timeout=600, env=_shim_env())
+    assert r.returncode == 0, r.stdout + r.stderr
+    mask, _ = read_nifti(out)
+    assert mask.shape == img.shape
+
+    # python reference: same preprocessing (identity resample at equal
+    # spacing, clip+zscore), fp32 engine, same tile grid + gaussian
+    pre = (np.clip(img, 0, 400) - 200.0) / 120.0
+    engine = SlidingWindowEngine(net, PATCH, K, tile_step_size=0.5,
+                                 use_gaussian=True, mirror_axes=(),
+                                 compute_dtype=jnp.float32,
+                                 acc_dtype=jnp.float32, shape_bucket=1,
+                                 tile_batch=1)
+    want = np.asarray(engine.predict_segmentation(params, pre[None]))
+    agreement = float((mask == want).mean())
+    assert agreement > 0.995, f"only {agreement:.4f} voxel agreement"
+
+
+def test_pjrt_backend_missing_plugin_errors_cleanly(built_engine, tmp_path):
+    from fast_nnunet_tpu.imageio.nifti import write_nifti
+    img = np.zeros((10, 10, 10), np.float32)
+    ct = str(tmp_path / "ct.nii.gz")
+    write_nifti(ct, img, spacing=(1.0, 1.0, 1.0))
+    ini = str(tmp_path / "model.ini")
+    with open(ini, "w") as f:
+        f.write("[model]\nnum_class=2\n[input]\npatch_size=8x8x8\n"
+                "target_spacing=(1.0,1.0,1.0)\n[preprocessing]\nmean=0\n"
+                "std=1\nlower_bound=-1\nupper_bound=1\n")
+    r = subprocess.run(
+        [os.path.join(built_engine, "fast_nnunet_engine"), "--config", ini,
+         "--input", ct, "--output", str(tmp_path / "m.nii.gz"),
+         "--pjrt", "/nonexistent/plugin.so", "--artifact", "/nonexistent.mlir"],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1
+    assert "dlopen" in r.stderr
