@@ -25,6 +25,79 @@ default_trained_models = tuple({"plans": "nnUNetPlans", "configuration": c,
                                          "3d_cascade_fullres"))
 
 
+def filter_available_models(models, dataset_name_or_id, strict: bool = False):
+    """Cascade-prerequisite checks (ref find_best_configuration.py:27-50):
+    configurations absent from the plans (3d_lowres / 3d_cascade_fullres do
+    not exist for small datasets) are skipped with a message; a configuration
+    that IS planned but has no trained output folder is an error when
+    `strict`, otherwise skipped."""
+    from ..paths import get_preprocessed_folder
+    dataset_name = maybe_convert_to_dataset_name(dataset_name_or_id)
+    valid = []
+    for model in models:
+        plans_file = join(get_preprocessed_folder(), dataset_name,
+                          model["plans"] + ".json")
+        plans_manager = PlansManager(plans_file)
+        if model["configuration"] not in plans_manager.available_configurations:
+            print(f"Configuration {model['configuration']} not found in plans "
+                  f"{model['plans']} ({plans_file}); skipping.")
+            continue
+        folder = get_output_folder(dataset_name, model["trainer"],
+                                   model["plans"], model["configuration"])
+        if not isdir(folder):
+            if strict:
+                raise RuntimeError(
+                    f"Trained model {model} has no output folder (expected "
+                    f"{folder}). Train this configuration first — and use "
+                    f"--npz so its validation predictions can be ensembled.")
+            print(f"Skipping untrained {model} (no folder {folder}).")
+            continue
+        valid.append(model)
+    return valid
+
+
+def generate_inference_command(dataset_name, configuration: str,
+                               plans: str = "nnUNetPlans",
+                               trainer: str = "NNUNetTrainer",
+                               folds=(0, 1, 2, 3, 4),
+                               output_folder: str = "OUTPUT_FOLDER",
+                               save_probabilities: bool = False) -> str:
+    """Predict command(s) for one configuration; a cascade stage is
+    recursively prefixed with its previous stage writing
+    OUTPUT_FOLDER_PREV_STAGE (ref find_best_configuration.py:53-80)."""
+    folder = get_output_folder(dataset_name, trainer, plans, configuration)
+    prev = None
+    try:
+        # read previous_stage from the raw plans dict (walking inherits_from)
+        # — no ConfigurationManager needed just for the cascade chain
+        cfgs = PlansManager(join(folder, "plans.json")).plans["configurations"]
+        name = configuration
+        while name in cfgs:
+            if "previous_stage" in cfgs[name]:
+                prev = cfgs[name]["previous_stage"]
+                break
+            name = cfgs[name].get("inherits_from")
+            if name is None:
+                break
+    except (FileNotFoundError, KeyError):
+        pass
+    lines = []
+    prev_arg = ""
+    if prev:
+        lines.append(generate_inference_command(
+            dataset_name, prev, plans, trainer, folds,
+            output_folder="OUTPUT_FOLDER_PREV_STAGE"))
+        prev_arg = " -prev_stage_predictions OUTPUT_FOLDER_PREV_STAGE"
+    fold_str = " ".join(str(f) for f in folds)
+    cmd = (f"nnUNetv2_predict -d {dataset_name} -i INPUT_FOLDER "
+           f"-o {output_folder} -f {fold_str} -tr {trainer} "
+           f"-c {configuration} -p {plans}{prev_arg}")
+    if save_probabilities:
+        cmd += " --save_probabilities"
+    lines.append(cmd)
+    return "\n".join(lines)
+
+
 def accumulate_cv_results(trained_model_folder: str, merged_output_folder: str,
                           folds: List[int], num_processes: int = 8,
                           overwrite: bool = True) -> None:
@@ -62,16 +135,17 @@ def find_best_configuration(dataset_name_or_id,
                             allow_ensembling: bool = True,
                             num_processes: int = 8,
                             overwrite: bool = True,
-                            folds: List[int] = (0, 1, 2, 3, 4)) -> dict:
+                            folds: List[int] = (0, 1, 2, 3, 4),
+                            strict: bool = False) -> dict:
     from ..paths import get_raw_folder, get_results_folder
     dataset_name = maybe_convert_to_dataset_name(dataset_name_or_id)
     all_results = {}
 
+    allowed_trained_models = filter_available_models(
+        allowed_trained_models, dataset_name_or_id, strict=strict)
     for model in allowed_trained_models:
         folder = get_output_folder(dataset_name, model["trainer"], model["plans"],
                                    model["configuration"])
-        if not isdir(folder):
-            continue
         identifier = os.path.basename(folder)
         merged = join(get_results_folder(), dataset_name, "crossval_results_folds_"
                       + "_".join(str(f) for f in folds), identifier)
@@ -155,10 +229,10 @@ def find_best_configuration(dataset_name_or_id,
     models = best_entry.get("model")
     models = [models] if models else list(best_entry["models"])
     for m in models:
-        print(f"  nnUNetv2_predict -d {dataset_name} -i INPUT -o OUTPUT -f "
-              f"{' '.join(str(f) for f in folds)} -tr {m['trainer']} "
-              f"-c {m['configuration']} -p {m['plans']}"
-              + (" --save_probabilities" if len(models) > 1 else ""))
+        # cascade members expand to their full prev-stage chain
+        print(generate_inference_command(
+            dataset_name, m["configuration"], m["plans"], m["trainer"], folds,
+            save_probabilities=len(models) > 1))
     if len(models) > 1:
         print("  # then: nnUNetv2_ensemble -i OUT1 OUT2 -o FINAL")
     if pp_fns:
@@ -178,9 +252,12 @@ def find_best_configuration_entry():
     parser.add_argument("-np", type=int, default=8)
     parser.add_argument("-f", nargs="+", type=int, default=[0, 1, 2, 3, 4])
     parser.add_argument("--disable_ensembling", action="store_true")
+    parser.add_argument("--strict", action="store_true",
+                        help="error (instead of skip) when a planned "
+                             "configuration has not been trained")
     args = parser.parse_args()
     models = [{"plans": p, "configuration": c, "trainer": t}
               for p in args.p for c in args.c for t in args.tr]
     find_best_configuration(args.dataset_name_or_id, models,
                             not args.disable_ensembling, args.np,
-                            folds=args.f)
+                            folds=args.f, strict=args.strict)
