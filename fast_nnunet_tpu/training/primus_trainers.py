@@ -98,3 +98,56 @@ class nnUNet_Primus_M_Trainer(AbstractPrimusTrainer):
 
 class nnUNet_Primus_L_Trainer(AbstractPrimusTrainer):
     embed_dim, depth, num_heads = 1056, 24, 16
+
+
+# -------- fixed-batch / fixed-patch convenience variants (ref :203-324) ------
+def _override_config(trainer, batch_size=None, patch_size=None):
+    cfg = trainer.configuration_manager.configuration
+    if batch_size is not None:
+        cfg["batch_size"] = batch_size
+    if patch_size is not None:
+        cfg["patch_size"] = list(patch_size)
+
+
+class nnUNet_Primus_M_Trainer_BS8(nnUNet_Primus_M_Trainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        _override_config(self, batch_size=8)
+
+
+class nnUNet_Primus_M_Trainer_BS8_2e4(nnUNet_Primus_M_Trainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 2e-4
+        _override_config(self, batch_size=8)
+
+
+class nnUNet_Trainer_BS8(NNUNetTrainer):
+    """Plain conv-UNet trainer at batch size 8 (ref :230-244)."""
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        _override_config(self, batch_size=8)
+
+
+class _Primus_S_96_BS1(nnUNet_Primus_S_Trainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        _override_config(self, batch_size=1, patch_size=(96, 96, 96))
+
+
+class _Primus_B_96_BS1(nnUNet_Primus_B_Trainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        _override_config(self, batch_size=1, patch_size=(96, 96, 96))
+
+
+class _Primus_M_96_BS1(nnUNet_Primus_M_Trainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        _override_config(self, batch_size=1, patch_size=(96, 96, 96))
+
+
+class _Primus_L_48_BS1(nnUNet_Primus_L_Trainer):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        _override_config(self, batch_size=1, patch_size=(48, 48, 48))
