@@ -5,10 +5,20 @@ nnUNetTrainer.py:1149-1172): a checkpoint plus the plans.json/dataset.json copie
 into the results folder is sufficient to rebuild the network for inference —
 `trainer_name` + `init_args` drive reconstruction (predict_from_raw_data.py:89-104).
 
-Format: a single pickle holding numpy-ified pytrees (flax state dicts). Params
-are framework-agnostic nested dicts of numpy arrays — no torch, no orbax
-dependency, loadable from the C++ engine via np.load-able sidecars if needed.
+Two storage backends behind one save/load API:
+
+- default: a single pickle holding numpy-ified pytrees (flax state dicts).
+  Framework-agnostic nested dicts of numpy arrays — no torch, no orbax
+  dependency, loadable from the C++ engine via np.load-able sidecars.
+- ``backend="orbax"`` (or FNN_CKPT_BACKEND=orbax): the weight/optimizer
+  pytrees go through orbax-checkpoint instead. On a multi-host mesh every
+  host writes only its addressable shards (no device_get gather through one
+  host), which is the TPU-pod answer to torch.save on rank 0. The checkpoint
+  becomes a directory; small metadata stays in a pickle inside it.
+  load_checkpoint dispatches on path type, so resume and inference work with
+  either format transparently.
 """
+import os
 import pickle
 from typing import Any, Optional
 
@@ -26,7 +36,17 @@ def save_checkpoint(fname: str, *, network_weights, optimizer_state=None,
                     best_ema: Optional[float] = None, init_args: Optional[dict] = None,
                     trainer_name: str = "NNUNetTrainer",
                     inference_allowed_mirroring_axes=None,
-                    grad_scaler_state=None, extras: Optional[dict] = None) -> None:
+                    grad_scaler_state=None, extras: Optional[dict] = None,
+                    backend: Optional[str] = None) -> None:
+    backend = backend or os.environ.get("FNN_CKPT_BACKEND", "pickle")
+    if backend == "orbax":
+        return _save_checkpoint_orbax(
+            fname, network_weights=network_weights,
+            optimizer_state=optimizer_state, current_epoch=current_epoch,
+            logging=logging, best_ema=best_ema, init_args=init_args,
+            trainer_name=trainer_name,
+            inference_allowed_mirroring_axes=inference_allowed_mirroring_axes,
+            extras=extras)
     ckpt = {
         "network_weights": serialization.to_state_dict(_to_numpy_tree(network_weights)),
         "optimizer_state": serialization.to_state_dict(_to_numpy_tree(optimizer_state))
@@ -45,7 +65,72 @@ def save_checkpoint(fname: str, *, network_weights, optimizer_state=None,
         pickle.dump(ckpt, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
+_ARRAY_MARKER = "__fnnx_array__"
+_EMPTY_MARKER = "__fnnx_empty__"
+
+
+def _flatten_keep_empty(prefix: str, tree: dict) -> dict:
+    """Like _flatten but records empty dict nodes (optax EmptyState etc.) so
+    the skeleton reconstructs the exact pytree arity."""
+    if not tree:
+        return {prefix: _EMPTY_MARKER} if prefix else {}
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_keep_empty(key, v))
+        else:
+            out[key] = v
+    return out
+
+
+def _save_checkpoint_orbax(fname: str, *, network_weights, optimizer_state,
+                           extras: Optional[dict], **meta) -> None:
+    """fname becomes a directory: array leaves go through orbax (each host
+    writes its own shards — pass live sharded jax.Arrays, NOT device_get
+    copies); the pytree skeleton (incl. namedtuple/empty optax nodes orbax
+    would mangle) plus small metadata land in meta.pkl on rank 0."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(fname)
+    sd = {"network_weights": serialization.to_state_dict(network_weights)}
+    if optimizer_state is not None:
+        sd["optimizer_state"] = serialization.to_state_dict(optimizer_state)
+    flat = _flatten_keep_empty("", sd)
+    arrays = {k.replace("/", "|"): v for k, v in flat.items()
+              if hasattr(v, "shape")}
+    skeleton = {k: (_ARRAY_MARKER if k.replace("/", "|") in arrays else v)
+                for k, v in flat.items()}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), arrays, force=True)
+    if jax.process_index() == 0:
+        md = dict(meta)
+        md["grad_scaler_state"] = None
+        if extras:
+            md.update(extras)
+        md["_best_ema"] = md.pop("best_ema", None)
+        md["_skeleton"] = skeleton
+        md["_has_optimizer_state"] = optimizer_state is not None
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(md, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
 def load_checkpoint(fname: str) -> dict:
+    if os.path.isdir(fname):  # orbax-backed directory checkpoint
+        import orbax.checkpoint as ocp
+        with open(os.path.join(fname, "meta.pkl"), "rb") as f:
+            ckpt = pickle.load(f)
+        skeleton = ckpt.pop("_skeleton")
+        with ocp.StandardCheckpointer() as ckptr:
+            arrays = ckptr.restore(
+                os.path.join(os.path.abspath(fname), "state"))
+        merged = {k: (arrays[k.replace("/", "|")]
+                      if isinstance(v, str) and v == _ARRAY_MARKER else v)
+                  for k, v in skeleton.items()}
+        sd = _unflatten_with_empty(merged)
+        ckpt["network_weights"] = sd["network_weights"]
+        ckpt["optimizer_state"] = sd.get("optimizer_state") \
+            if ckpt.pop("_has_optimizer_state", False) else None
+        return ckpt
     with open(fname, "rb") as f:
         return pickle.load(f)
 
@@ -83,6 +168,20 @@ def _flatten(prefix: str, tree: dict) -> dict:
         else:
             out[key] = v
     return out
+
+
+def _unflatten_with_empty(flat: dict) -> dict:
+    """Inverse of _flatten_keep_empty: empty-marker leaves become {}."""
+    nested = _unflatten(flat)
+
+    def fix(node):
+        if isinstance(node, str) and node == _EMPTY_MARKER:
+            return {}
+        if isinstance(node, dict):
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(nested)
 
 
 def _unflatten(flat: dict) -> dict:

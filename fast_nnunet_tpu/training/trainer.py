@@ -392,13 +392,13 @@ class NNUNetTrainer:
         ema = self.logger.logging["ema_fg_dice"][epoch]
         if self._best_ema is None or ema > self._best_ema:
             self._best_ema = ema
-            if self.is_main_process:
+            if self._writes_checkpoints:
                 self.save_checkpoint(join(self.output_folder,
                                           "checkpoint_best.fnnx"))
             self.print_to_log_file(
                 f"New best EMA pseudo Dice: {np.round(ema, 4)}")
         if (epoch + 1) % self.save_every == 0 and epoch + 1 != self.num_epochs \
-                and self.is_main_process:
+                and self._writes_checkpoints:
             self.save_checkpoint(join(self.output_folder, "checkpoint_latest.fnnx"))
 
         self.print_to_log_file(
@@ -413,7 +413,7 @@ class NNUNetTrainer:
                 pass
 
     def on_train_end(self) -> None:
-        if self.is_main_process:
+        if self._writes_checkpoints:
             self.save_checkpoint(join(self.output_folder,
                                       "checkpoint_final.fnnx"))
             latest = join(self.output_folder, "checkpoint_latest.fnnx")
@@ -431,11 +431,25 @@ class NNUNetTrainer:
                 "plans_name": self.plans_manager.plans_name,
                 "dataset_name": self.plans_manager.dataset_name}
 
+    @property
+    def _writes_checkpoints(self) -> bool:
+        """pickle checkpoints are written by rank 0 only; orbax saves are
+        collective — every host participates and writes its own shards."""
+        return (self.is_main_process
+                or os.environ.get("FNN_CKPT_BACKEND") == "orbax")
+
     def save_checkpoint(self, filename: str) -> None:
+        backend = os.environ.get("FNN_CKPT_BACKEND", "pickle")
+        opt_state = self.train_state.opt_state
+        if backend != "orbax":
+            opt_state = jax.device_get(opt_state)
+        # orbax gets the LIVE (possibly sharded) arrays: on a multi-host mesh
+        # each host writes its own shards instead of gathering through rank 0
         save_checkpoint(
             filename,
+            backend=backend,
             network_weights=self.train_state.params,
-            optimizer_state=jax.device_get(self.train_state.opt_state),
+            optimizer_state=opt_state,
             current_epoch=self.current_epoch,
             logging=self.logger.get_checkpoint(),
             best_ema=self._best_ema,

@@ -166,3 +166,34 @@ def test_bn_checkpoint_roundtrip_carries_stats(tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(state.params)["batch_stats"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """backend='orbax' writes a directory checkpoint; load_checkpoint
+    dispatches on path type and returns the same dict contract."""
+    from fast_nnunet_tpu.training.checkpoint import (load_checkpoint,
+                                                     restore_params,
+                                                     save_checkpoint)
+    net, state, step, (data, targets) = _setup()
+    state, _ = jax.jit(step)(state, data, targets)
+    f = str(tmp_path / "ck_orbax")
+    save_checkpoint(f, network_weights=state.params,
+                    optimizer_state=state.opt_state, current_epoch=3,
+                    trainer_name="NNUNetTrainer",
+                    extras={"train_step": 1}, backend="orbax")
+    import os
+    assert os.path.isdir(f)
+    ck = load_checkpoint(f)
+    assert ck["current_epoch"] == 3 and ck["train_step"] == 1
+    assert ck["trainer_name"] == "NNUNetTrainer"
+    template = jax.device_get(net.init(jax.random.PRNGKey(1),
+                                       jnp.zeros((1, *PATCH, 1)),
+                                       deep_supervision=True))
+    restored = restore_params(template, ck["network_weights"])
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restorable too (resume keeps momentum)
+    opt = restore_params(jax.device_get(state.opt_state), ck["optimizer_state"])
+    assert len(jax.tree_util.tree_leaves(opt)) == \
+        len(jax.tree_util.tree_leaves(state.opt_state))
