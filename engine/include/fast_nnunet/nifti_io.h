@@ -26,8 +26,15 @@ struct Volume {
 };
 
 namespace Data {
-// Loads .nii/.nii.gz; throws std::runtime_error on malformed input.
+// Loads .nii/.nii.gz files or a DICOM series (a directory of slices, a .dcm
+// file, or any file with the DICM magic — ref engine/fast_nnunet.cpp:5-24,
+// fast_nnunet_dicom_convertor.h contract); throws std::runtime_error on
+// malformed input.
 Volume LoadData(const std::string& path);
+// Direct entry points for the two formats.
+Volume LoadNifti(const std::string& path);
+Volume LoadDicomSeries(const std::string& path);
+bool looks_like_dicom(const std::string& path);
 }  // namespace Data
 
 namespace Tools {

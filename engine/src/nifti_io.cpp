@@ -78,6 +78,11 @@ void convert_to_float(const std::vector<uint8_t>& raw, size_t off, int64_t n,
 namespace Data {
 
 Volume LoadData(const std::string& path) {
+    if (looks_like_dicom(path)) return LoadDicomSeries(path);
+    return LoadNifti(path);
+}
+
+Volume LoadNifti(const std::string& path) {
     auto raw = read_file_maybe_gz(path);
     if (raw.size() < kHeaderSize + 4)
         throw std::runtime_error(path + ": too small for NIfTI-1");

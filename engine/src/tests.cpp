@@ -4,6 +4,7 @@
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <filesystem>
 #include <fstream>
 #include <iostream>
 
@@ -103,11 +104,100 @@ static void test_null_pipeline() {
     CHECK(all_bg);
 }
 
+// ------------------------------------------------------------------- DICOM
+namespace {
+void put16(std::vector<uint8_t>& b, uint16_t v) {
+    b.push_back(v & 0xff);
+    b.push_back(v >> 8);
+}
+void put32(std::vector<uint8_t>& b, uint32_t v) {
+    put16(b, v & 0xffff);
+    put16(b, v >> 16);
+}
+void el_explicit(std::vector<uint8_t>& b, uint16_t g, uint16_t e,
+                 const char* vr, const std::string& val) {
+    std::string v = val;
+    if (v.size() % 2) v.push_back('\0');
+    put16(b, g);
+    put16(b, e);
+    b.push_back(vr[0]);
+    b.push_back(vr[1]);
+    bool long_vr = std::strncmp(vr, "OW", 2) == 0 ||
+                   std::strncmp(vr, "OB", 2) == 0;
+    if (long_vr) {
+        put16(b, 0);
+        put32(b, uint32_t(v.size()));
+    } else {
+        put16(b, uint16_t(v.size()));
+    }
+    b.insert(b.end(), v.begin(), v.end());
+}
+void write_dicom_slice(const std::string& path, int z, int rows, int cols,
+                       const std::vector<int16_t>& px) {
+    std::vector<uint8_t> b(128, 0);
+    b.insert(b.end(), {'D', 'I', 'C', 'M'});
+    el_explicit(b, 0x0002, 0x0010, "UI", "1.2.840.10008.1.2.1");
+    el_explicit(b, 0x0018, 0x0050, "DS", "2.5");
+    el_explicit(b, 0x0020, 0x0013, "IS", std::to_string(z + 1));
+    el_explicit(b, 0x0020, 0x0032, "DS",
+                "-100\\-120\\" + std::to_string(z * 2.5));
+    el_explicit(b, 0x0020, 0x0037, "DS", "1\\0\\0\\0\\1\\0");
+    std::string us(2, '\0');
+    auto set_us = [&](uint16_t v) {
+        us[0] = char(v & 0xff);
+        us[1] = char(v >> 8);
+        return us;
+    };
+    el_explicit(b, 0x0028, 0x0010, "US", set_us(uint16_t(rows)));
+    el_explicit(b, 0x0028, 0x0011, "US", set_us(uint16_t(cols)));
+    el_explicit(b, 0x0028, 0x0030, "DS", "0.75\\0.5");
+    el_explicit(b, 0x0028, 0x0100, "US", set_us(16));
+    el_explicit(b, 0x0028, 0x0103, "US", set_us(1));
+    el_explicit(b, 0x0028, 0x1052, "DS", "-1024");
+    el_explicit(b, 0x0028, 0x1053, "DS", "2");
+    std::string pd(reinterpret_cast<const char*>(px.data()), px.size() * 2);
+    el_explicit(b, 0x7FE0, 0x0010, "OW", pd);
+    std::ofstream f(path, std::ios::binary);
+    f.write(reinterpret_cast<const char*>(b.data()), b.size());
+}
+}  // namespace
+
+static void test_dicom_series() {
+    std::string dir = "/tmp/fnnt_engine_dicom";
+    std::filesystem::create_directories(dir);
+    const int rows = 6, cols = 4, nz = 3;
+    // write in shuffled z order so position sorting is exercised
+    for (int z : {2, 0, 1}) {
+        std::vector<int16_t> px(rows * cols);
+        for (int i = 0; i < rows * cols; ++i)
+            px[i] = int16_t(z * 100 + i);
+        write_dicom_slice(dir + "/s" + std::to_string(2 - z) + ".dcm", z,
+                          rows, cols, px);
+    }
+    CHECK(Data::looks_like_dicom(dir));
+    Volume v = Data::LoadData(dir);
+    CHECK(v.shape[0] == cols && v.shape[1] == rows && v.shape[2] == nz);
+    CHECK(std::abs(v.spacing[0] - 0.5f) < 1e-6);   // col spacing -> x
+    CHECK(std::abs(v.spacing[1] - 0.75f) < 1e-6);  // row spacing -> y
+    CHECK(std::abs(v.spacing[2] - 2.5f) < 1e-6);   // slice distance -> z
+    // HU rescale: raw*2 - 1024, sorted ascending in z despite shuffled files
+    CHECK(std::abs(v.at(0, 0, 0) - (0 * 2 - 1024)) < 1e-4);
+    CHECK(std::abs(v.at(1, 0, 2) - ((200 + 1) * 2 - 1024)) < 1e-4);
+    CHECK(std::abs(v.at(0, 1, 1) - ((100 + cols) * 2 - 1024)) < 1e-4);
+    // DICOM-loaded volumes can be written back (synthesized NIfTI header)
+    std::vector<uint8_t> mask(v.voxels(), 1);
+    Tools::save_mask(mask, v, "/tmp/fnnt_engine_dicom_mask.nii.gz");
+    Volume back = Data::LoadData("/tmp/fnnt_engine_dicom_mask.nii.gz");
+    CHECK(back.shape == v.shape);
+    CHECK(std::abs(back.spacing[2] - 2.5f) < 1e-6);
+}
+
 int main() {
     test_ini();
     test_nifti_roundtrip();
     test_resample();
     test_null_pipeline();
+    test_dicom_series();
     if (failures == 0) {
         std::cout << "engine tests: all OK\n";
         return 0;
