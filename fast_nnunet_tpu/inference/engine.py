@@ -96,7 +96,8 @@ class SlidingWindowEngine:
                  tile_batch: int = 8,
                  max_accumulator_bytes: int = 4 * 1024 ** 3,
                  use_pallas_accumulate: bool = False,
-                 use_coset_sweep: bool = False):
+                 use_coset_sweep: bool = False,
+                 use_streamed_sweep: bool = False):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
@@ -121,6 +122,10 @@ class SlidingWindowEngine:
         # even patches). Kept off by default until its HBM layout behavior at
         # 512^3 x 61 classes is confirmed on hardware (see docs/Performance.md)
         self.use_coset_sweep = use_coset_sweep
+        # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
+        # Wins only when per-call dispatch latency is negligible (local PCIe
+        # serving); the default single-jit sweep is one device call per volume
+        self.use_streamed_sweep = use_streamed_sweep
         self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
 
         if self.use_gaussian:
@@ -429,17 +434,26 @@ class SlidingWindowEngine:
         return out
 
     # ------------------------------------------------------------------ turbo sweep
-    def _build_sweep_runner(self, vol_shape: Tuple[int, ...], n_chunks: int,
-                            stride: int, n_batches: int, n_folds: int,
-                            in_channels: int, tail_rows: int,
+    def _build_sweep_runner(self, vol_shape: Tuple[int, ...],
+                            starts_x: Tuple[int, ...], n_batches: int,
+                            n_folds: int, in_channels: int,
                             use_pallas: bool = False):
         """Single-jit whole-volume sweep for argmax serving (the bone_turbo path):
         scan over x-chunks with a rolling accumulator of x-extent = patch[0].
         Each chunk accumulates its (y, z) tile-grid batches, finalizes (divide +
-        argmax) its owned `stride` rows on device, writes them into the uint8
-        output, and shifts the accumulator. D2H is the segmentation only."""
-        key = ("sweep", vol_shape, n_chunks, stride, n_batches, n_folds,
-               in_channels, tail_rows, use_pallas)
+        argmax) rows on device, writes them into the uint8 output, and shifts
+        the accumulator. D2H is the segmentation only — ONE device call per
+        volume, which also makes the path robust to per-call dispatch latency
+        (remote/tunneled runtimes).
+
+        Grid-exact: ``starts_x`` is the reference's evenly-spread x tile grid
+        (possibly non-uniform by 1 voxel). Each chunk finalizes a fixed
+        ``max_roll`` rows from dynamic offset starts_x[k]; rows not yet
+        complete (when roll_k < max_roll) are overwritten by the next chunk's
+        write at starts_x[k+1], and the final chunk writes its full window,
+        so every surviving row saw all its tiles."""
+        key = ("sweep", vol_shape, starts_x, n_batches, n_folds,
+               in_channels, use_pallas)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -450,6 +464,11 @@ class SlidingWindowEngine:
         acc_dtype = self.sweep_acc_dtype
         gaussian = self._gaussian_for(acc_dtype)
         plane = vol_shape[1:]  # (Yp, Zp)
+        n_starts = len(starts_x)
+        rolls = tuple(starts_x[k + 1] - starts_x[k]
+                      for k in range(n_starts - 1))
+        max_roll = max(rolls) if rolls else 0
+        x_last = starts_x[-1]
 
         def finalize_rows(acc, wsum, n_rows_static):
             # argmax(a / w) == argmax(a): w is a positive per-voxel scalar
@@ -466,10 +485,7 @@ class SlidingWindowEngine:
             acc0 = jnp.zeros((p0, *plane, C_acc), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
-            def chunk_body(carry, k):
-                acc, seg = carry
-                x0 = k * stride
-
+            def accumulate(acc, x0):
                 def tile_body(a, cv):
                     coords_b, valid_b = cv
                     a = self._accumulate_batch(
@@ -479,21 +495,32 @@ class SlidingWindowEngine:
                     return a, None
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
-                if stride > 0:  # static: single-chunk sweeps finalize in the tail
-                    rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], stride)
-                    seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
-                    acc = jnp.concatenate(
-                        [acc[stride:],
-                         jnp.zeros((stride, *plane, C_acc), acc_dtype)], 0)
+                return acc
+
+            def chunk_body(carry, inputs):
+                acc, seg = carry
+                x0, roll = inputs
+                acc = accumulate(acc, x0)
+                rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], max_roll)
+                seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+                # shift by this chunk's (dynamic) roll with static shapes
+                acc = jax.lax.dynamic_slice(
+                    jnp.concatenate(
+                        [acc, jnp.zeros((max_roll, *plane, C_acc), acc_dtype)],
+                        0),
+                    (roll, 0, 0, 0), (p0, *plane, C_acc))
                 return (acc, seg), None
 
-            (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
-                                         jnp.arange(n_chunks))
-            if tail_rows > 0:
-                rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], tail_rows)
-                seg = jax.lax.dynamic_update_slice(seg, rows,
-                                                   (n_chunks * stride, 0, 0))
-            return seg
+            acc, seg = acc0, seg0
+            if n_starts > 1:
+                (acc, seg), _ = jax.lax.scan(
+                    chunk_body, (acc0, seg0),
+                    (jnp.asarray(starts_x[:-1], jnp.int32),
+                     jnp.asarray(rolls, jnp.int32)))
+            # final chunk owns its whole window (static offset)
+            acc = accumulate(acc, x_last)
+            rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], p0)
+            return jax.lax.dynamic_update_slice(seg, rows, (x_last, 0, 0))
 
         self._jit_cache[key] = sweep
         return sweep
@@ -857,14 +884,12 @@ class SlidingWindowEngine:
         """Whole-volume argmax segmentation with the single-jit rolling-sweep
         runner.
 
-        Uses a uniform x stride of floor(patch0 * tile_step_size), padding the
-        volume with zeros up to the last tile's end — so when the x extent is
-        not stride-aligned, the final tiles run partly on zero padding and the
-        last rows' tile placement drifts from the reference's evenly-spread
-        grid by up to stride-1 voxels (e.g. extent 100, patch 32: last start 80
-        vs reference 68). Serving/turbo + Pallas path only; the default
-        dispatch uses the streamed sweep, whose grid is reference-exact, and
-        predict_logits for full parity."""
+        Grid-exact: x starts and the in-plane grid are the reference's
+        evenly-spread sliding-window steps (no past-the-end padding — every
+        tile reads real volume rows), so the result matches
+        ``predict_logits(...).argmax(0)`` for the same accumulator dtype.
+        With the Pallas scatter kernel the grid switches to uniform 16-aligned
+        strides (Mosaic offset provability)."""
         if not isinstance(params_list, (list, tuple)):
             params_list = [params_list]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
@@ -877,19 +902,14 @@ class SlidingWindowEngine:
 
         spatial = volume.shape[1:]
         p0 = self.patch_size[0]
-        stride = max(1, int(p0 * self.tile_step_size))
         x_tight = max(spatial[0], p0)
-        n_starts = int(np.ceil((x_tight - p0) / stride)) + 1
-        x_padded = (n_starts - 1) * stride + p0
-        tail_rows = p0 - stride if n_starts > 1 else p0
-        n_chunks = n_starts
-        if n_starts == 1:
-            stride, tail_rows = 0, p0  # finalize everything in the tail
-
-        # y/z grid: reference-spread steps, or uniform 16-aligned strides when
-        # the Pallas scatter kernel is on (Mosaic offset provability)
         tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], self.patch_size[1:]))
         if use_pallas:
+            # uniform 16-aligned strides on every axis (incl. x)
+            stride = max(16, (int(p0 * self.tile_step_size) // 16) * 16)
+            n = int(np.ceil((x_tight - p0) / stride)) + 1 if x_tight > p0 else 1
+            starts_x = tuple(k * stride for k in range(n))
+            x_extent = starts_x[-1] + p0
             steps_rest, needed = [], []
             for t, p in zip(tight_rest, self.patch_size[1:]):
                 plane_stride = max(16, (int(p * self.tile_step_size) // 16) * 16)
@@ -898,8 +918,11 @@ class SlidingWindowEngine:
                 needed.append((n - 1) * plane_stride + p)
             tight_rest = tuple(max(t, n_) for t, n_ in zip(tight_rest, needed))
         else:
-            steps_rest = compute_steps_for_sliding_window(
-                tight_rest, self.patch_size[1:], self.tile_step_size)
+            steps = compute_steps_for_sliding_window(
+                (x_tight, *tight_rest), self.patch_size, self.tile_step_size)
+            starts_x = tuple(int(s) for s in steps[0])
+            x_extent = x_tight
+            steps_rest = steps[1:]
         coords_yz = tile_coords_from_steps(steps_rest)
         # prepend a zero x column so batched coords are (B, dim)
         coords_full = np.concatenate(
@@ -907,16 +930,16 @@ class SlidingWindowEngine:
         coords_b, valid_b = self._batched_coords(coords_full)
 
         plane_padded = tuple(_round_up(t, self.shape_bucket) for t in tight_rest)
-        vol_shape = (x_padded, *plane_padded)
+        vol_shape = (x_extent, *plane_padded)
         np_dtype = np.dtype(jnp.dtype(self.compute_dtype).name) \
             if jnp.dtype(self.compute_dtype) != jnp.bfloat16 else jnp.bfloat16
         vol = np.zeros(vol_shape + (volume.shape[0],), np.float32)
         vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
         vol = vol.astype(np_dtype)  # ship in compute dtype
 
-        sweep = self._build_sweep_runner(vol_shape, n_chunks, stride,
+        sweep = self._build_sweep_runner(vol_shape, starts_x,
                                          len(coords_b), n_folds,
-                                         volume.shape[0], tail_rows,
+                                         volume.shape[0],
                                          use_pallas=use_pallas)
         seg = sweep(stacked, jnp.asarray(vol), jnp.asarray(coords_b),
                     jnp.asarray(valid_b))
@@ -935,10 +958,12 @@ class SlidingWindowEngine:
             if self.use_coset_sweep and self.tile_step_size == 0.5 and \
                     all(p % 2 == 0 for p in self.patch_size):
                 return self.predict_segmentation_coset(params_list, volume)
-            if not self.use_pallas_accumulate:
-                # streamed variant: reference-grid-exact tile placement AND
-                # hides H2D behind compute (34.7 -> 31.0 s on the 512^3
-                # x 61-class bench)
+            if self.use_streamed_sweep and not self.use_pallas_accumulate:
+                # streamed variant: same reference-exact grid, H2D strips
+                # overlapped with compute — but one device call PER CHUNK, so
+                # it only wins when per-call dispatch is cheap (local PCIe);
+                # through an RPC-tunneled runtime the single-jit sweep wins
+                # (measured 46.5 s vs 89 s on the 512^3 x 61-class bench)
                 return self.predict_segmentation_sweep_streamed(
                     params_list, volume)
             return self.predict_segmentation_sweep(params_list, volume)

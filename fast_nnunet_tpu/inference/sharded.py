@@ -2,11 +2,16 @@
 
 The TPU answer to "how does a 512^3 CT scale beyond one chip": the x-axis tile
 grid is partitioned into per-device slabs; every device accumulates ONLY its own
-tiles (zero redundant compute) into a local slab accumulator, sends the
-overhanging tail rows to its right neighbor with ONE ``ppermute`` (rides the ICI
-ring), adds the halo it received from its left neighbor, and finalizes
-(divide + argmax) its owned rows on device. D2H is the sharded uint8
-segmentation only.
+tiles (zero redundant compute) into a local slab accumulator, forwards the
+overhanging tail rows along the ICI ring with ``ppermute`` (one hop per slab the
+overhang spans — one hop in the common case), adds the halo received from its
+left neighbor, and finalizes (argmax) its owned rows on device. D2H is the
+sharded uint8 segmentation only.
+
+Grid-exact: the tile grid is the reference's evenly-spread sliding-window
+placement on EVERY axis (identical to the single-chip sweep and to
+``predict_logits``), so the multi-chip result equals the single-chip result
+voxel-for-voxel — tiles are only *assigned* to devices, never moved.
 
 There is no analogue in the reference — it is single-GPU for inference — this is
 where the TPU design wins the end-to-end latency target (BASELINE.json: <5 s for
@@ -29,8 +34,7 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
                                    axis_name: str = "space") -> np.ndarray:
     """volume (C, *spatial) -> argmax segmentation, slab-parallel over the mesh.
 
-    Uses the uniform-stride x grid (same convention as the single-chip rolling
-    sweep). Requires a 1D device axis named `axis_name` in `mesh`.
+    Requires a 1D device axis named `axis_name` in `mesh`.
     """
     if not isinstance(params_list, (list, tuple)):
         params_list = [params_list]
@@ -42,64 +46,56 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
     in_channels = volume.shape[0]
     patch = engine.patch_size
     p0 = patch[0]
-    stride = max(1, int(p0 * engine.tile_step_size))
-    halo = p0 - stride
 
     x_tight = max(spatial[0], p0)
-    # same x grid as the single-chip sweep: starts k*stride, k < n_starts
-    n_starts = int(np.ceil((x_tight - p0) / stride)) + 1
-    last_start = (n_starts - 1) * stride
-    # owned rows per device: n_d * stride; coverage requires D*n_d*stride >= X
-    n_d = int(np.ceil(max(x_tight, last_start + p0) / (D * stride)))
-    x_owned_total = D * n_d * stride
-    x_padded = x_owned_total + halo  # room for the last tiles to overhang
-
-    # in-plane grid: reference steps
     tight_rest = tuple(max(s, p) for s, p in zip(spatial[1:], patch[1:]))
-    steps_rest = compute_steps_for_sliding_window(tight_rest, patch[1:],
-                                                  engine.tile_step_size)
-    coords_yz = tile_coords_from_steps(steps_rest)
+    # reference-exact tile grid on every axis (== single-chip sweep)
+    steps = compute_steps_for_sliding_window((x_tight, *tight_rest), patch,
+                                             engine.tile_step_size)
+    starts_x = [int(s) for s in steps[0]]
+    coords_yz = tile_coords_from_steps(steps[1:])
 
-    # per-device tiles: local x row = j*stride (j < n_d); global start =
-    # (d*n_d + j)*stride. Tiles fully beyond the tight extent are invalid.
+    # slab ownership: device d owns global rows [d*owned, (d+1)*owned); a tile
+    # is accumulated by the device owning its start row, and its up-to-p0-row
+    # overhang is forwarded along the ring (n_hops = ceil(p0 / owned))
+    owned = int(np.ceil(x_tight / D))
+    halo = p0  # local accumulator extent past the owned rows
+    ext = owned + halo
+    x_padded = D * owned + halo
+    n_hops = int(np.ceil(halo / owned)) if D > 1 else 0
+
+    # per-device tiles (counts vary by +-1 per slab; pad to the max)
     B = engine.tile_batch
-    per_dev_coords, per_dev_valid = [], []
-    for d in range(D):
-        cs, vs = [], []
-        for j in range(n_d):
-            gx = (d * n_d + j) * stride
-            v = 1.0 if gx <= last_start else 0.0  # exact single-chip grid
-            for yz in coords_yz:
-                cs.append((j * stride, int(yz[0]), int(yz[1])))
-                vs.append(v)
-        cs = np.asarray(cs, np.int32)
-        vs = np.asarray(vs, np.float32)
-        n_real = len(cs)
-        n_tiles = _round_up(n_real, B)
-        if n_tiles > n_real:
-            cs = np.concatenate([cs, np.repeat(cs[-1:], n_tiles - n_real, 0)])
-            vs = np.concatenate([vs, np.zeros(n_tiles - n_real, np.float32)])
-        per_dev_coords.append(cs.reshape(-1, B, 3))
-        per_dev_valid.append(vs.reshape(-1, B))
-    coords_all = np.stack(per_dev_coords)   # (D, nb, B, 3)
-    valid_all = np.stack(per_dev_valid)     # (D, nb, B)
+    per_dev = [[] for _ in range(D)]
+    for gx in starts_x:
+        d = min(gx // owned, D - 1)
+        for yz in coords_yz:
+            per_dev[d].append((gx - d * owned, int(yz[0]), int(yz[1])))
+    max_real = max(len(t) for t in per_dev)
+    n_tiles = max(B, _round_up(max_real, B))
+    coords_all = np.zeros((D, n_tiles, 3), np.int32)
+    valid_all = np.zeros((D, n_tiles), np.float32)
+    for d, tiles in enumerate(per_dev):
+        for i, c in enumerate(tiles):
+            coords_all[d, i] = c
+            valid_all[d, i] = 1.0
+    coords_all = coords_all.reshape(D, -1, B, 3)
+    valid_all = valid_all.reshape(D, -1, B)
 
     plane = tuple(_round_up(t, engine.shape_bucket) for t in tight_rest)
-    ext = n_d * stride + halo  # local slab extent incl. overhang
 
-    # volume slabs: device d needs rows [d*n_d*stride, d*n_d*stride + ext)
+    # volume slabs: device d needs rows [d*owned, d*owned + ext)
     vol_sharded = np.zeros((D, ext, *plane, in_channels), np.float32)
     vol_cl = np.zeros((x_padded, *plane, in_channels), np.float32)
     vol_cl[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
     for d in range(D):
-        x0 = d * n_d * stride
+        x0 = d * owned
         vol_sharded[d] = vol_cl[x0:x0 + ext]
 
     K = engine.num_classes
     acc_dtype = engine.sweep_acc_dtype
     gaussian = engine._gaussian_for(acc_dtype)
     forward = engine._tile_step_fn(n_folds)
-    owned = n_d * stride
 
     perm_right = [(i, (i + 1) % D) for i in range(D)]
 
@@ -118,12 +114,17 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
 
         acc, _ = jax.lax.scan(body, acc0, (coords, valid))
 
-        # send the overhang [owned, ext) right; receive from the left into [0, halo)
-        if halo > 0 and D > 1:
+        # forward the overhang [owned, ext) along the ring: each hop sends the
+        # current overhang right, zeroes it locally (no re-send), and adds the
+        # received rows at local [0, halo) — contributions still beyond the
+        # receiver's owned rows land back in the overhang and ride the next
+        # hop. The wrap from the ring's end carries only zeros (no tiles
+        # extend past the padded volume), but device 0 masks it anyway.
+        idx = jax.lax.axis_index(axis_name)
+        keep = (idx > 0).astype(acc.dtype)
+        for _ in range(n_hops):
             tail = jax.lax.ppermute(acc[owned:], axis_name, perm_right)
-            idx = jax.lax.axis_index(axis_name)
-            # device 0 has no left neighbor: the ring wraps, so mask it out
-            keep = (idx > 0).astype(acc.dtype)
+            acc = acc.at[owned:].set(0)
             acc = acc.at[:halo].add(tail * keep)
 
         # argmax(a / w) == argmax(a): the weight sum is a positive per-voxel

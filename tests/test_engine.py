@@ -128,8 +128,6 @@ def test_predict_segmentation(tiny_net_and_params):
 
 
 def test_sweep_matches_logits_argmax(tiny_net_and_params):
-    """The rolling sweep uses a uniform x stride; compare against the logits
-    path on a volume where the uniform and reference grids coincide."""
     net, params, _ = tiny_net_and_params
     eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
                               compute_dtype=jnp.float32)
@@ -140,6 +138,20 @@ def test_sweep_matches_logits_argmax(tiny_net_and_params):
     assert seg_sweep.shape == (16, 12, 12)
     agree = (seg_sweep == seg_ref).mean()
     assert agree > 0.99, f"sweep/logits argmax agreement too low: {agree}"
+
+
+def test_sweep_grid_exact_nonuniform_x(tiny_net_and_params):
+    """x = 26 with patch 8 yields the reference's evenly-spread non-uniform
+    starts (0,4,7,11,14,18): the single-jit sweep must place tiles exactly
+    there — every voxel matches the logits path bit-for-bit."""
+    net, params, _ = tiny_net_and_params
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=1,
+                              compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32)
+    vol = np.random.RandomState(31).rand(1, 26, 13, 18).astype(np.float32)
+    seg_sweep = eng.predict_segmentation_sweep(params, vol)
+    seg_ref = eng.predict_logits(params, vol).argmax(0)
+    np.testing.assert_array_equal(seg_sweep, seg_ref)
 
 
 def test_sweep_single_chunk(tiny_net_and_params):
@@ -267,19 +279,32 @@ def test_streamed_sweep_matches_plain_sweep_when_grids_coincide(
         eng.predict_segmentation_sweep(params, vol))
 
 
-def test_predict_segmentation_dispatches_streamed(tiny_net_and_params):
-    """Over-budget accumulators at step 0.5 take the streamed sweep."""
+def test_predict_segmentation_dispatches_sweep(tiny_net_and_params):
+    """Over-budget accumulators take the single-jit sweep by default; the
+    per-chunk streamed variant is opt-in (use_streamed_sweep=True)."""
     net, params, _ = tiny_net_and_params
+    vol = np.random.RandomState(23).rand(1, 26, 13, 18).astype(np.float32)
+
     eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
                               compute_dtype=jnp.float32,
                               max_accumulator_bytes=64)
     called = {}
-    orig = eng.predict_segmentation_sweep_streamed
-    eng.predict_segmentation_sweep_streamed = \
-        lambda *a, **k: called.setdefault("streamed", True) or orig(*a, **k)
-    vol = np.random.RandomState(23).rand(1, 26, 13, 18).astype(np.float32)
+    orig = eng.predict_segmentation_sweep
+    eng.predict_segmentation_sweep = \
+        lambda *a, **k: called.setdefault("sweep", True) or orig(*a, **k)
     eng.predict_segmentation(params, vol)
-    assert called.get("streamed")
+    assert called.get("sweep")
+
+    eng2 = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                               compute_dtype=jnp.float32,
+                               max_accumulator_bytes=64,
+                               use_streamed_sweep=True)
+    called2 = {}
+    orig2 = eng2.predict_segmentation_sweep_streamed
+    eng2.predict_segmentation_sweep_streamed = \
+        lambda *a, **k: called2.setdefault("streamed", True) or orig2(*a, **k)
+    eng2.predict_segmentation(params, vol)
+    assert called2.get("streamed")
 
 
 @pytest.fixture(scope="module")
