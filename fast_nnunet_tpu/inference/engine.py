@@ -184,14 +184,16 @@ class SlidingWindowEngine:
 
     def _accumulate_batch(self, a, vol, coords_b, valid_b, forward,
                           stacked_params, gaussian, acc_dtype, in_channels,
-                          x_offset=None, use_pallas=False):
+                          x_offset=None, use_pallas=False, acc_x_offset=None):
         """One batched step: gather B patches, forward once, scatter-add each.
 
         a: fused accumulator (*S, K+1) — channel K carries the gaussian weight
         sum, so each tile needs ONE read-modify-write instead of two (measured
         win: halves the chained dynamic_update_slice count).
         coords_b: (B, dim) int32; valid_b: (B,) float; x_offset: optional traced
-        scalar added to axis-0 coords (rolling sweep uses chunk-local acc)."""
+        scalar added to axis-0 coords for the volume READS (rolling sweep uses
+        chunk-local acc); acc_x_offset: optional traced scalar added to axis-0
+        coords for the accumulator WRITES (the grid-exact sweep's drift)."""
         patch = self.patch_size
         K = self.num_classes
         B = coords_b.shape[0]
@@ -222,7 +224,10 @@ class SlidingWindowEngine:
                                       interpret=self._pallas_interpret)
 
         for b in range(B):
-            start = tuple(coords_b[b][i] for i in range(len(patch))) + (0,)
+            start = [coords_b[b][i] for i in range(len(patch))]
+            if acc_x_offset is not None:
+                start[0] = start[0] + acc_x_offset
+            start = tuple(start) + (0,)
             gw = (gaussian * valid_b[b])[..., None]
             contrib = jnp.concatenate([logits[b] * gw, gw], axis=-1).astype(acc_dtype)
             cur = jax.lax.dynamic_slice(a, start, patch + (K + 1,))
@@ -447,11 +452,15 @@ class SlidingWindowEngine:
         (remote/tunneled runtimes).
 
         Grid-exact: ``starts_x`` is the reference's evenly-spread x tile grid
-        (possibly non-uniform by 1 voxel). Each chunk finalizes a fixed
-        ``max_roll`` rows from dynamic offset starts_x[k]; rows not yet
-        complete (when roll_k < max_roll) are overwritten by the next chunk's
-        write at starts_x[k+1], and the final chunk writes its full window,
-        so every surviving row saw all its tiles."""
+        (possibly non-uniform by 1 voxel). The accumulator shifts by the
+        STATIC minimum roll per chunk (a plain slice + zero-concat, the
+        memory shape XLA handles well) and the per-chunk drift
+        d_k = starts_x[k] - k*min_roll (grows by at most 1 per chunk) rides
+        as a dynamic accumulator-write offset; the accumulator is d_max rows
+        taller than the patch. Each chunk finalizes a fixed ``max_roll`` rows
+        at starts_x[k]; rows not yet complete (roll_k < max_roll) are
+        overwritten by the next chunk's write, and the final chunk writes its
+        full window, so every surviving row saw all its tiles."""
         key = ("sweep", vol_shape, starts_x, n_batches, n_folds,
                in_channels, use_pallas)
         if key in self._jit_cache:
@@ -468,30 +477,35 @@ class SlidingWindowEngine:
         rolls = tuple(starts_x[k + 1] - starts_x[k]
                       for k in range(n_starts - 1))
         max_roll = max(rolls) if rolls else 0
+        min_roll = min(rolls) if rolls else 0
+        drifts = tuple(starts_x[k] - k * min_roll for k in range(n_starts))
+        d_max = max(drifts)
         x_last = starts_x[-1]
 
-        def finalize_rows(acc, wsum, n_rows_static):
+        def finalize_rows(acc, wsum, offset, n_rows_static):
             # argmax(a / w) == argmax(a): w is a positive per-voxel scalar
             # shared across classes (w == 0 rows are all-zero -> class 0 either
             # way). The divide materialized a full fp32 probs tensor (+ layout
             # copy) in HBM for nothing.
             del wsum
-            return acc[:n_rows_static].argmax(-1).astype(jnp.uint8)
+            win = jax.lax.dynamic_slice_in_dim(acc, offset, n_rows_static, 0)
+            return win.argmax(-1).astype(jnp.uint8)
 
         C_acc = self._acc_channels() if use_pallas else self.num_classes + 1
+        acc_rows = p0 + d_max
 
         @jax.jit
         def sweep(stacked_params, vol, coords_yz, valid_yz):
-            acc0 = jnp.zeros((p0, *plane, C_acc), acc_dtype)
+            acc0 = jnp.zeros((acc_rows, *plane, C_acc), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
-            def accumulate(acc, x0):
+            def accumulate(acc, x0, d):
                 def tile_body(a, cv):
                     coords_b, valid_b = cv
                     a = self._accumulate_batch(
                         a, vol, coords_b, valid_b, forward, stacked_params,
                         gaussian, acc_dtype, in_channels, x_offset=x0,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, acc_x_offset=d)
                     return a, None
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_yz))
@@ -499,16 +513,15 @@ class SlidingWindowEngine:
 
             def chunk_body(carry, inputs):
                 acc, seg = carry
-                x0, roll = inputs
-                acc = accumulate(acc, x0)
-                rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], max_roll)
+                x0, d = inputs
+                acc = accumulate(acc, x0, d)
+                rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], d,
+                                     max_roll)
                 seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
-                # shift by this chunk's (dynamic) roll with static shapes
-                acc = jax.lax.dynamic_slice(
-                    jnp.concatenate(
-                        [acc, jnp.zeros((max_roll, *plane, C_acc), acc_dtype)],
-                        0),
-                    (roll, 0, 0, 0), (p0, *plane, C_acc))
+                # static shift: the drift offset d absorbs the roll variance
+                acc = jnp.concatenate(
+                    [acc[min_roll:],
+                     jnp.zeros((min_roll, *plane, C_acc), acc_dtype)], 0)
                 return (acc, seg), None
 
             acc, seg = acc0, seg0
@@ -516,10 +529,11 @@ class SlidingWindowEngine:
                 (acc, seg), _ = jax.lax.scan(
                     chunk_body, (acc0, seg0),
                     (jnp.asarray(starts_x[:-1], jnp.int32),
-                     jnp.asarray(rolls, jnp.int32)))
-            # final chunk owns its whole window (static offset)
-            acc = accumulate(acc, x_last)
-            rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], p0)
+                     jnp.asarray(drifts[:-1], jnp.int32)))
+            # final chunk owns its whole window (static offsets)
+            acc = accumulate(acc, x_last, drifts[-1])
+            rows = finalize_rows(acc[..., :K], acc[..., K:K + 1], drifts[-1],
+                                 p0)
             return jax.lax.dynamic_update_slice(seg, rows, (x_last, 0, 0))
 
         self._jit_cache[key] = sweep
