@@ -389,6 +389,163 @@ def convert_autopet2(src_data_folder: str, dataset_id: int = 221,
     return out
 
 
+# ------------------------------------------------------- BraTS 2018 / 2019
+def _convert_brats_hgg_lgg(brats_data_dir: str, dataset_id: int, name: str,
+                           case_prefix: str) -> str:
+    """BraTS 2018/2019 layout: HGG/ and LGG/ grade folders of per-case
+    <case>_{t1,t1ce,t2,flair,seg}.nii (uncompressed NIfTI — ref
+    Dataset042_BraTS18.py:75-95, Dataset043_BraTS19.py:75-95)."""
+    out = _out_base(dataset_id, name)
+    cases = []
+    for grade in ("HGG", "LGG"):
+        for c in subdirs(join(brats_data_dir, grade), prefix=case_prefix):
+            cases.append(c)
+            for i, mod in enumerate(("t1", "t1ce", "t2", "flair")):
+                shutil.copy(join(brats_data_dir, grade, c, f"{c}_{mod}.nii"),
+                            join(out, "imagesTr", f"{c}_{i:04d}.nii"))
+            convert_brats_labels_to_nnunet(
+                join(brats_data_dir, grade, c, f"{c}_seg.nii"),
+                join(out, "labelsTr", f"{c}.nii"))
+    generate_dataset_json(
+        out, channel_names={0: "T1", 1: "T1ce", 2: "T2", 3: "Flair"},
+        labels={"background": 0, "whole tumor": (1, 2, 3),
+                "tumor core": (2, 3), "enhancing tumor": (3,)},
+        num_training_cases=len(cases), file_ending=".nii",
+        regions_class_order=(1, 2, 3))
+    return out
+
+
+def convert_brats18(brats_data_dir: str, dataset_id: int = 42,
+                    name: str = "BraTS2018") -> str:
+    return _convert_brats_hgg_lgg(brats_data_dir, dataset_id, name, "Brats")
+
+
+def convert_brats19(brats_data_dir: str, dataset_id: int = 43,
+                    name: str = "BraTS2019") -> str:
+    return _convert_brats_hgg_lgg(brats_data_dir, dataset_id, name, "BraTS")
+
+
+def convert_brats2024_gli(src_data_folder: str, dataset_id: int = 226,
+                          name: str = "BraTS2024-BraTS-GLI") -> str:
+    """BraTS 2024 adult-glioma post-treatment: per-case
+    <case>-{t1n,t1c,t2w,t2f,seg}.nii.gz; labels kept as-is (NETC/SNFH/ET/RC,
+    no region conversion — ref Dataset226_BraTS2024-BraTS-GLI.py:18-52)."""
+    out = _out_base(dataset_id, name)
+    cases = subdirs(src_data_folder)
+    for c in cases:
+        for i, mod in enumerate(("t1n", "t1c", "t2w", "t2f")):
+            shutil.copy(join(src_data_folder, c, f"{c}-{mod}.nii.gz"),
+                        join(out, "imagesTr", f"{c}_{i:04d}.nii.gz"))
+        shutil.copy(join(src_data_folder, c, f"{c}-seg.nii.gz"),
+                    join(out, "labelsTr", f"{c}.nii.gz"))
+    generate_dataset_json(
+        out, channel_names={0: "T1", 1: "T1C", 2: "T2W", 3: "T2F"},
+        labels={"background": 0, "NETC": 1, "SNFH": 2, "ET": 3, "RC": 4},
+        num_training_cases=len(cases), file_ending=".nii.gz")
+    return out
+
+
+# -------------------------------------------------------- AortaSeg24 (CTA)
+def convert_ctaaorta(src_data_folder: str, dataset_id: int = 21,
+                     name: str = "CTAAorta") -> str:
+    """AortaSeg24: images/subject*_CTA.mha + masks/subject*_label.mha,
+    transcoded .mha -> .nii.gz; 23 aortic zones/branches (ref
+    Dataset021_CTAAorta.py:24-78)."""
+    from ..imageio.mha import read_mha
+    out = _out_base(dataset_id, name)
+    cases = subfiles(join(src_data_folder, "images"), prefix="subject")
+    for case in cases:
+        ident = case.replace("_CTA.mha", "")
+        img, fields = read_mha(join(src_data_folder, "images", case))
+        write_nifti(join(out, "imagesTr", f"{ident}_0000.nii.gz"),
+                    img.astype(np.float32), spacing=fields["_spacing"])
+        seg, sfields = read_mha(join(src_data_folder, "masks",
+                                     case.replace("_CTA.mha", "_label.mha")))
+        write_nifti(join(out, "labelsTr", f"{ident}.nii.gz"),
+                    seg.astype(np.uint8), spacing=sfields["_spacing"])
+    zones = ["Zone_0", "Innominate", "Zone_1", "Left_Common_Carotid",
+             "Zone_2", "Left_Subclavian_Artery", "Zone_3", "Zone_4",
+             "Zone_5", "Zone_6", "Celiac_Artery", "Zone_7", "SMA", "Zone_8",
+             "Right_Renal_Artery", "Left_Renal_Artery", "Zone_9",
+             "Zone_10_R_(Right_Common_Iliac_Artery)",
+             "Zone_10_L_(Left_Common_Iliac_Artery)",
+             "Right_Internal_Iliac_Artery", "Left_Internal_Iliac_Artery",
+             "Zone_11_R_(Right_External_Iliac_Artery)",
+             "Zone_11_L_(Left_External_Iliac_Artery)"]
+    generate_dataset_json(
+        out, channel_names={0: "CTA"},
+        labels={"background": 0, **{z: i + 1 for i, z in enumerate(zones)}},
+        num_training_cases=len(cases), file_ending=".nii.gz",
+        overwrite_image_reader_writer="NibabelIOWithReorient")
+    return out
+
+
+# ------------------------------------------------------------------ EMIDEC
+def convert_emidec(src_data_folder: str, dataset_id: int = 115,
+                   name: str = "EMIDEC", test_folder: Optional[str] = None
+                   ) -> str:
+    """EMIDEC cardiac MRI: per-patient Images/<case>.nii.gz +
+    Contours/<case>.nii.gz (ref Dataset115_EMIDEC.py:9-45)."""
+    out = _out_base(dataset_id, name)
+    patients = subdirs(src_data_folder)
+    for pat in patients:
+        shutil.copy(join(src_data_folder, pat, "Images", f"{pat}.nii.gz"),
+                    join(out, "imagesTr", f"{pat}_0000.nii.gz"))
+        shutil.copy(join(src_data_folder, pat, "Contours", f"{pat}.nii.gz"),
+                    join(out, "labelsTr", f"{pat}.nii.gz"))
+    if test_folder:
+        maybe_mkdir_p(join(out, "imagesTs"))
+        for pat in subdirs(test_folder):
+            shutil.copy(join(test_folder, pat, "Images", f"{pat}.nii.gz"),
+                        join(out, "imagesTs", f"{pat}_0000.nii.gz"))
+    generate_dataset_json(
+        out, channel_names={0: "cineMRI"},
+        labels={"background": 0, "cavity": 1, "normal_myocardium": 2,
+                "myocardial_infarction": 3, "no_reflow": 4},
+        num_training_cases=len(patients), file_ending=".nii.gz")
+    return out
+
+
+# -------------------------------------------- AMOS 2022 post-challenge (223)
+def convert_amos_post_challenge(amos_base_dir: str, dataset_id: int = 223,
+                                name: str = "AMOS2022postChallenge") -> str:
+    """Merges imagesTr+imagesVa (and their labels) into one training pool,
+    imagesTs stays test; labels come from the bundled dataset.json (ref
+    Dataset223_AMOS2022postChallenge.py:8-60)."""
+    out = _out_base(dataset_id, name)
+    maybe_mkdir_p(join(out, "imagesTs"))
+    n_train = 0
+    for src_img, src_lab in (("imagesTr", "labelsTr"), ("imagesVa", "labelsVa")):
+        for s in subfiles(join(amos_base_dir, src_img), suffix=".nii.gz"):
+            shutil.copy(join(amos_base_dir, src_img, s),
+                        join(out, "imagesTr", s[:-7] + "_0000.nii.gz"))
+            n_train += 1
+        if isdir(join(amos_base_dir, src_lab)):
+            for s in subfiles(join(amos_base_dir, src_lab), suffix=".nii.gz"):
+                shutil.copy(join(amos_base_dir, src_lab, s),
+                            join(out, "labelsTr", s))
+    for s in subfiles(join(amos_base_dir, "imagesTs"), suffix=".nii.gz"):
+        shutil.copy(join(amos_base_dir, "imagesTs", s),
+                    join(out, "imagesTs", s[:-7] + "_0000.nii.gz"))
+    old = load_json(join(amos_base_dir, "dataset.json"))
+    labels = {str(v): int(k) for k, v in old["labels"].items()} \
+        if all(str(k).isdigit() for k in old["labels"]) else old["labels"]
+    generate_dataset_json(
+        out, channel_names={0: "either_CT_or_MR"}, labels=labels,
+        num_training_cases=n_train, file_ending=".nii.gz")
+    return out
+
+
+# --------------------------------------------- AbdomenAtlas 1.1 Mini (023)
+def convert_abdomenatlas_mini(src_data_folder: str, dataset_id: int = 23,
+                              name: str = "AbdomenAtlas1.1Mini") -> str:
+    """Same per-case ct.nii.gz + combined_labels.nii.gz layout as
+    AbdomenAtlas 1.0 with the core 9-organ label set (ref
+    Dataset023_AbdomenAtlas1_1Mini.py); delegates to the 1.0 recipe."""
+    return convert_abdomenatlas(src_data_folder, dataset_id=dataset_id,
+                                name=name)
+
+
 # ----------------------------------------------------- old nnU-Net v1 layout
 def convert_old_nnunet_task(source_folder: str, target_dataset_name: str) -> str:
     """TaskXXX_YYY (nnU-Net v1 raw) -> DatasetXXX_YYY (v2): copies the image/
@@ -412,7 +569,14 @@ def convert_old_nnunet_task(source_folder: str, target_dataset_name: str) -> str
 
 
 _CONVERTERS = {
+    "brats18": convert_brats18,
+    "brats19": convert_brats19,
     "brats21": convert_brats21,
+    "brats2024_gli": convert_brats2024_gli,
+    "ctaaorta": convert_ctaaorta,
+    "emidec": convert_emidec,
+    "amos_post_challenge": convert_amos_post_challenge,
+    "abdomenatlas_mini": convert_abdomenatlas_mini,
     "kits2023": convert_kits2023,
     "amos_task1": convert_amos_task1,
     "amos_task2": convert_amos_task2,

@@ -214,3 +214,107 @@ def test_toothfairy2(raw_env):
     assert m[11] == 11 and m[21] == 19 and m[31] == 27 and m[41] == 35 and m[48] == 42
     conv, _ = read_nifti(join(out, "labelsTr", "ToothFairy2F_001.nii.gz"))
     assert set(np.unique(conv)) <= {0, 1, 11, 19, 27, 35, 42}
+
+
+def test_brats18_hgg_lgg(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import convert_brats18
+    raw, tmp = raw_env
+    src = join(tmp, "brats18_src")
+    rng = np.random.RandomState(3)
+    for grade, c in (("HGG", "Brats18_A_1"), ("LGG", "Brats18_B_1")):
+        maybe_mkdir_p(join(src, grade, c))
+        for mod in ("t1", "t1ce", "t2", "flair"):
+            write_nifti(join(src, grade, c, f"{c}_{mod}.nii"),
+                        rng.rand(6, 6, 6).astype(np.float32))
+        seg = rng.choice([0, 1, 2, 4], size=(6, 6, 6)).astype(np.uint8)
+        write_nifti(join(src, grade, c, f"{c}_seg.nii"), seg)
+    out = convert_brats18(src, dataset_id=902, name="B18Test")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["file_ending"] == ".nii"
+    assert len(subfiles(join(out, "imagesTr"), suffix=".nii")) == 8
+    seg_conv, _ = read_nifti(join(out, "labelsTr", "Brats18_A_1.nii"))
+    assert set(np.unique(seg_conv)) <= {0, 1, 2, 3}
+
+
+def test_brats2024_gli(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import convert_brats2024_gli
+    raw, tmp = raw_env
+    src = join(tmp, "gli_src")
+    rng = np.random.RandomState(4)
+    c = "BraTS-GLI-00000-000"
+    maybe_mkdir_p(join(src, c))
+    for mod in ("t1n", "t1c", "t2w", "t2f"):
+        write_nifti(join(src, c, f"{c}-{mod}.nii.gz"),
+                    rng.rand(6, 6, 6).astype(np.float32))
+    write_nifti(join(src, c, f"{c}-seg.nii.gz"),
+                rng.randint(0, 5, (6, 6, 6)).astype(np.uint8))
+    out = convert_brats2024_gli(src, dataset_id=903, name="GLITest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"]["RC"] == 4
+    assert len(subfiles(join(out, "imagesTr"), suffix=".nii.gz")) == 4
+
+
+def test_ctaaorta_mha_transcode(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import convert_ctaaorta
+    from fast_nnunet_tpu.imageio.mha import write_mha
+    raw, tmp = raw_env
+    src = join(tmp, "aorta_src")
+    maybe_mkdir_p(join(src, "images"))
+    maybe_mkdir_p(join(src, "masks"))
+    rng = np.random.RandomState(5)
+    img = rng.rand(7, 6, 5).astype(np.float32)
+    seg = rng.randint(0, 24, (7, 6, 5)).astype(np.uint8)
+    write_mha(join(src, "images", "subject001_CTA.mha"), img, (1.0, 0.8, 2.0))
+    write_mha(join(src, "masks", "subject001_label.mha"), seg, (1.0, 0.8, 2.0))
+    out = convert_ctaaorta(src, dataset_id=904, name="AortaTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"]["Zone_0"] == 1 and len(dj["labels"]) == 24
+    got, hdr = read_nifti(join(out, "imagesTr", "subject001_0000.nii.gz"))
+    np.testing.assert_allclose(got, img, rtol=1e-6)
+    gseg, _ = read_nifti(join(out, "labelsTr", "subject001.nii.gz"))
+    np.testing.assert_array_equal(gseg, seg)
+
+
+def test_emidec(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import convert_emidec
+    raw, tmp = raw_env
+    src = join(tmp, "emidec_src")
+    rng = np.random.RandomState(6)
+    for pat in ("Case_P001", "Case_P002"):
+        maybe_mkdir_p(join(src, pat, "Images"))
+        maybe_mkdir_p(join(src, pat, "Contours"))
+        write_nifti(join(src, pat, "Images", f"{pat}.nii.gz"),
+                    rng.rand(6, 6, 4).astype(np.float32))
+        write_nifti(join(src, pat, "Contours", f"{pat}.nii.gz"),
+                    rng.randint(0, 5, (6, 6, 4)).astype(np.uint8))
+    out = convert_emidec(src, dataset_id=905, name="EmidecTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"]["no_reflow"] == 4
+    assert len(subfiles(join(out, "imagesTr"), suffix=".nii.gz")) == 2
+
+
+def test_amos_post_challenge(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import \
+        convert_amos_post_challenge
+    raw, tmp = raw_env
+    src = join(tmp, "amos_src")
+    rng = np.random.RandomState(7)
+    for sub in ("imagesTr", "imagesVa", "imagesTs", "labelsTr", "labelsVa"):
+        maybe_mkdir_p(join(src, sub))
+    for name, img_dir, lab_dir in (("amos_0001", "imagesTr", "labelsTr"),
+                                   ("amos_0500", "imagesVa", "labelsVa")):
+        write_nifti(join(src, img_dir, f"{name}.nii.gz"),
+                    rng.rand(6, 6, 4).astype(np.float32))
+        write_nifti(join(src, lab_dir, f"{name}.nii.gz"),
+                    rng.randint(0, 3, (6, 6, 4)).astype(np.uint8))
+    write_nifti(join(src, "imagesTs", "amos_0600.nii.gz"),
+                rng.rand(6, 6, 4).astype(np.float32))
+    save_json({"labels": {"0": "background", "1": "spleen", "2": "liver"}},
+              join(src, "dataset.json"))
+    out = convert_amos_post_challenge(src, dataset_id=906, name="AmosPCTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"]["liver"] == 2
+    # Tr + Va merged into the training pool
+    assert len(subfiles(join(out, "imagesTr"), suffix=".nii.gz")) == 2
+    assert len(subfiles(join(out, "labelsTr"), suffix=".nii.gz")) == 2
+    assert len(subfiles(join(out, "imagesTs"), suffix=".nii.gz")) == 1
