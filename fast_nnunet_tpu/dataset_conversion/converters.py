@@ -546,6 +546,148 @@ def convert_abdomenatlas_mini(src_data_folder: str, dataset_id: int = 23,
                                 name=name)
 
 
+# ------------------------------------------------------------------- M&Ms
+def convert_mnms(src_data_folder: str, dataset_id: int = 114,
+                 name: str = "MNMs",
+                 csv_file_name: str = "211230_M&Ms_Dataset_information_diagnosis_opendataset.csv"
+                 ) -> str:
+    """M&Ms multi-vendor cardiac MRI: Training/Labeled/<patient>/
+    <patient>_sa.nii.gz is a 4D cine; the per-patient CSV rows (columns
+    'External code', 'ED', 'ES') name the end-diastole/end-systole frames to
+    extract as separate 3D training cases (ref Dataset114_MNMs.py:14-112)."""
+    import csv as _csv
+    out = _out_base(dataset_id, name)
+    info = {}
+    with open(join(src_data_folder, csv_file_name), newline="") as fh:
+        reader = _csv.reader(fh)
+        headers = next(reader)
+        i_pat = headers.index("External code")
+        i_ed, i_es = headers.index("ED"), headers.index("ES")
+        for row in reader:
+            info[row[i_pat]] = (int(row[i_ed]), int(row[i_es]))
+
+    n_cases = 0
+    labeled = join(src_data_folder, "Training", "Labeled")
+    for pat in subdirs(labeled):
+        img4d, hdr = read_nifti(join(labeled, pat, f"{pat}_sa.nii.gz"))
+        seg4d, _ = read_nifti(join(labeled, pat, f"{pat}_sa_gt.nii.gz"))
+        spacing = hdr["pixdim"][1:4]
+        for frame in info[pat]:
+            ident = f"{pat}_frame{frame:02d}"
+            write_nifti(join(out, "imagesTr", f"{ident}_0000.nii.gz"),
+                        np.ascontiguousarray(img4d[..., frame]),
+                        spacing=spacing)
+            write_nifti(join(out, "labelsTr", f"{ident}.nii.gz"),
+                        np.ascontiguousarray(seg4d[..., frame]).astype(np.uint8),
+                        spacing=spacing)
+            n_cases += 1
+    generate_dataset_json(
+        out, channel_names={0: "cineMRI"},
+        labels={"background": 0, "LVBP": 1, "LVM": 2, "RV": 3},
+        num_training_cases=n_cases, file_ending=".nii.gz")
+    return out
+
+
+# ------------------------------------------- Fluo-C3DH-A549-SIM (cell, tif)
+def convert_fluo_c3dh_a549_sim(train_source: str, dataset_id: int = 73,
+                               name: str = "Fluo_C3DH_A549_SIM",
+                               test_source: Optional[str] = None) -> str:
+    """Cell Tracking Challenge Fluo-C3DH-A549-SIM: sequences 01/02 of .tif
+    stacks with 01_GT/SEG ground truth; files are copied (no conversion) with
+    the per-case spacing sidecar our Tiff3DIO expects, plus the reference's
+    custom 2-fold cross-sequence split (ref Dataset073_*.py:36-86)."""
+    from ..paths import get_preprocessed_folder
+    spacing = (1, 0.126, 0.126)
+    out = _out_base(dataset_id, name)
+    n = 0
+    for seq in ("01", "02"):
+        images = subfiles(join(train_source, seq), suffix=".tif")
+        segs = subfiles(join(train_source, seq + "_GT", "SEG"), suffix=".tif")
+        for i, (im, se) in enumerate(zip(images, segs)):
+            ident = f"{seq}_image_{i:03d}"
+            shutil.copy(join(train_source, seq, im),
+                        join(out, "imagesTr", f"{ident}_0000.tif"))
+            save_json({"spacing": spacing}, join(out, "imagesTr", f"{ident}.json"))
+            shutil.copy(join(train_source, seq + "_GT", "SEG", se),
+                        join(out, "labelsTr", f"{ident}.tif"))
+            save_json({"spacing": spacing}, join(out, "labelsTr", f"{ident}.json"))
+            n += 1
+    if test_source:
+        maybe_mkdir_p(join(out, "imagesTs"))
+        for seq in ("01", "02"):
+            for i, im in enumerate(subfiles(join(test_source, seq),
+                                            suffix=".tif")):
+                ident = f"{seq}_image_{i:03d}"
+                shutil.copy(join(test_source, seq, im),
+                            join(out, "imagesTs", f"{ident}_0000.tif"))
+                save_json({"spacing": spacing},
+                          join(out, "imagesTs", f"{ident}.json"))
+    generate_dataset_json(out, channel_names={0: "fluorescence_microscopy"},
+                          labels={"background": 0, "cell": 1},
+                          num_training_cases=n, file_ending=".tif")
+    # cross-sequence 2-fold split
+    caseids = [f[:-4] for f in subfiles(join(out, "labelsTr"), suffix=".tif")]
+    splits = [
+        {"train": [c for c in caseids if c.startswith("01_")],
+         "val": [c for c in caseids if c.startswith("02_")]},
+        {"train": [c for c in caseids if c.startswith("02_")],
+         "val": [c for c in caseids if c.startswith("01_")]},
+    ]
+    pre = join(get_preprocessed_folder(), f"Dataset{dataset_id:03d}_{name}")
+    maybe_mkdir_p(pre)
+    save_json(splits, join(pre, "splits_final.json"), sort_keys=False)
+    return out
+
+
+# --------------------------------------------- Massachusetts roads (2D png)
+def convert_road_segmentation(src_data_folder: str, dataset_id: int = 120,
+                              name: str = "RoadSegmentation",
+                              min_component_size: int = 50) -> str:
+    """Massachusetts road segmentation (2D RGB png): label 255 -> 1, and road
+    labels inside the tiles' large blank-white regions (no image content) are
+    cleared — white mask, small components dropped, holes filled (ref
+    Dataset120_RoadSegmentation.py:15-87)."""
+    from PIL import Image
+    from scipy import ndimage
+    out = _out_base(dataset_id, name)
+
+    def one(img_path, seg_path, out_img, out_seg):
+        seg = np.asarray(Image.open(seg_path)).copy()
+        seg[seg == 255] = 1
+        image = np.asarray(Image.open(img_path)).astype(np.int32)
+        mask = image.sum(2) == 3 * 255
+        lab, n_comp = ndimage.label(mask)
+        if n_comp:
+            sizes = ndimage.sum_labels(np.ones_like(lab), lab,
+                                       index=np.arange(1, n_comp + 1))
+            keep = np.isin(lab, np.nonzero(sizes > min_component_size)[0] + 1)
+        else:
+            keep = np.zeros_like(mask)
+        mask = ndimage.binary_fill_holes(keep)
+        seg[mask] = 0
+        Image.fromarray(seg.astype(np.uint8)).save(out_seg)
+        shutil.copy(img_path, out_img)
+
+    n_train = 0
+    for split, img_dir, lab_dir in (("training", "imagesTr", "labelsTr"),
+                                    ("testing", "imagesTs", "labelsTs")):
+        src = join(src_data_folder, split)
+        if not isdir(src):
+            continue
+        maybe_mkdir_p(join(out, img_dir))
+        maybe_mkdir_p(join(out, lab_dir))
+        for v in subfiles(join(src, "output"), suffix="png"):
+            one(join(src, "input", v), join(src, "output", v),
+                join(out, img_dir, v[:-4] + "_0000.png"),
+                join(out, lab_dir, v))
+            if split == "training":
+                n_train += 1
+    generate_dataset_json(out, channel_names={0: "R", 1: "G", 2: "B"},
+                          labels={"background": 0, "road": 1},
+                          num_training_cases=n_train, file_ending=".png")
+    return out
+
+
 # ----------------------------------------------------- old nnU-Net v1 layout
 def convert_old_nnunet_task(source_folder: str, target_dataset_name: str) -> str:
     """TaskXXX_YYY (nnU-Net v1 raw) -> DatasetXXX_YYY (v2): copies the image/
@@ -577,6 +719,9 @@ _CONVERTERS = {
     "emidec": convert_emidec,
     "amos_post_challenge": convert_amos_post_challenge,
     "abdomenatlas_mini": convert_abdomenatlas_mini,
+    "mnms": convert_mnms,
+    "fluo_c3dh_a549_sim": convert_fluo_c3dh_a549_sim,
+    "road_segmentation": convert_road_segmentation,
     "kits2023": convert_kits2023,
     "amos_task1": convert_amos_task1,
     "amos_task2": convert_amos_task2,

@@ -318,3 +318,87 @@ def test_amos_post_challenge(raw_env):
     assert len(subfiles(join(out, "imagesTr"), suffix=".nii.gz")) == 2
     assert len(subfiles(join(out, "labelsTr"), suffix=".nii.gz")) == 2
     assert len(subfiles(join(out, "imagesTs"), suffix=".nii.gz")) == 1
+
+
+def test_mnms_frame_extraction(raw_env):
+    from fast_nnunet_tpu.dataset_conversion.converters import convert_mnms
+    raw, tmp = raw_env
+    src = join(tmp, "mnms_src")
+    pat_dir = join(src, "Training", "Labeled", "A0S9V9")
+    maybe_mkdir_p(pat_dir)
+    rng = np.random.RandomState(8)
+    img4d = rng.rand(6, 6, 4, 10).astype(np.float32)
+    seg4d = np.zeros((6, 6, 4, 10), np.uint8)
+    seg4d[..., 2] = 1  # ED frame content
+    seg4d[..., 7] = 3  # ES frame content
+    write_nifti(join(pat_dir, "A0S9V9_sa.nii.gz"), img4d,
+                spacing=(1.2, 1.2, 8.0, 1.0))
+    write_nifti(join(pat_dir, "A0S9V9_sa_gt.nii.gz"), seg4d,
+                spacing=(1.2, 1.2, 8.0, 1.0))
+    csv_name = "info.csv"
+    with open(join(src, csv_name), "w") as f:
+        f.write("External code,Vendor,ED,ES\nA0S9V9,A,2,7\n")
+    out = convert_mnms(src, dataset_id=907, name="MNMsTest",
+                       csv_file_name=csv_name)
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["labels"]["RV"] == 3
+    ed, hdr = read_nifti(join(out, "imagesTr", "A0S9V9_frame02_0000.nii.gz"))
+    assert ed.shape == (6, 6, 4)
+    np.testing.assert_allclose(ed, img4d[..., 2], rtol=1e-6)
+    seg_es, _ = read_nifti(join(out, "labelsTr", "A0S9V9_frame07.nii.gz"))
+    assert (seg_es == 3).all()
+    assert abs(hdr["pixdim"][3] - 8.0) < 1e-6
+
+
+def test_road_segmentation(raw_env):
+    from PIL import Image
+    from fast_nnunet_tpu.dataset_conversion.converters import \
+        convert_road_segmentation
+    raw, tmp = raw_env
+    src = join(tmp, "roads_src")
+    maybe_mkdir_p(join(src, "training", "input"))
+    maybe_mkdir_p(join(src, "training", "output"))
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    img[:16, :16] = 255  # a big blank-white region (256 px > min size 50)
+    seg = np.zeros((32, 32), np.uint8)
+    seg[:, 8] = 255  # a road crossing the blank region
+    Image.fromarray(img).save(join(src, "training", "input", "img-1.png"))
+    Image.fromarray(seg).save(join(src, "training", "output", "img-1.png"))
+    out = convert_road_segmentation(src, dataset_id=908, name="RoadsTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["file_ending"] == ".png"
+    got = np.asarray(Image.open(join(out, "labelsTr", "img-1.png")))
+    # 255 -> 1, and the stretch inside the blank-white region cleared
+    assert set(np.unique(got)) <= {0, 1}
+    assert (got[:16, 8] == 0).all() and (got[16:, 8] == 1).all()
+
+
+def test_fluo_c3dh(raw_env, monkeypatch, tmp_path):
+    from fast_nnunet_tpu.dataset_conversion.converters import \
+        convert_fluo_c3dh_a549_sim
+    from fast_nnunet_tpu.imageio.tiff import _write_tiff_stack
+    raw, tmp = raw_env
+    monkeypatch.setenv("nnUNet_preprocessed", str(tmp_path / "pre"))
+    maybe_mkdir_p(str(tmp_path / "pre"))
+    src = join(tmp, "fluo_src")
+    rng = np.random.RandomState(10)
+    for seq in ("01", "02"):
+        maybe_mkdir_p(join(src, seq))
+        maybe_mkdir_p(join(src, seq + "_GT", "SEG"))
+        for t in range(2):
+            _write_tiff_stack(join(src, seq, f"t{t:03d}.tif"),
+                              (rng.rand(3, 8, 8) * 100).astype(np.uint16))
+            _write_tiff_stack(join(src, seq + "_GT", "SEG",
+                                   f"man_seg{t:03d}.tif"),
+                              rng.randint(0, 2, (3, 8, 8)).astype(np.uint16))
+    out = convert_fluo_c3dh_a549_sim(src, dataset_id=909, name="FluoTest")
+    dj = load_json(join(out, "dataset.json"))
+    assert dj["file_ending"] == ".tif"
+    # spacing sidecars written for every case
+    assert len(subfiles(join(out, "imagesTr"), suffix=".json")) == 4
+    from fast_nnunet_tpu.paths import get_preprocessed_folder
+    splits = load_json(join(get_preprocessed_folder(), "Dataset909_FluoTest",
+                            "splits_final.json"))
+    assert len(splits) == 2
+    assert all(c.startswith("01_") for c in splits[0]["train"])
