@@ -24,7 +24,9 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="small smoke config (CPU-safe)")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--classes", type=int, default=61)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=4,
+                    help="best-of-N (the dev tunnel's run-to-run variance is "
+                         "large — see docs/Performance.md round-2 notes)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +95,7 @@ def main():
         predict(params, vol)
         times.append(time.perf_counter() - t0)
     best = min(times)
+    print("per-run seconds:", [round(t, 2) for t in times], file=sys.stderr)
 
     print(json.dumps({
         "metric": f"sec/CT volume ({size}^3, {num_classes} classes, bone_turbo "
