@@ -211,17 +211,25 @@ class SlidingWindowEngine:
         if use_pallas:
             # x_offset shifts only the volume READS (rolling sweep); accumulator
             # coordinates stay chunk-local, exactly like the XLA path below
-            # (requires 16-aligned tile coords — the sweep quantizes its grid)
-            from ..ops.pallas_kernels import scatter_accumulate
-            gw = gaussian[None, ..., None] * valid_b[:, None, None, None, None]
-            contrib = jnp.concatenate([logits * gw, gw], axis=-1)
-            pad = a.shape[-1] - contrib.shape[-1]
-            if pad > 0:  # lane-pad to the accumulator's channel count
-                contrib = jnp.concatenate(
-                    [contrib, jnp.zeros(contrib.shape[:-1] + (pad,),
-                                        contrib.dtype)], axis=-1)
-            return scatter_accumulate(a, contrib, coords_b,
-                                      interpret=self._pallas_interpret)
+            # (requires 16-aligned tile coords — the sweep quantizes its grid).
+            # valid_b here is the REAL-ITEM COUNT of this same-coset batch
+            # (see _batched_coords_coset) — the kernel's DMA pipeline needs
+            # pairwise-disjoint items, not masked padding.
+            from ..ops.pallas_kernels import fused_scatter_accumulate
+            C_acc = a.shape[-1]
+            pad = C_acc - K - 1
+            # weight channel as a constant-1 logit; zero-pad to C_acc
+            lg = jnp.concatenate(
+                [logits.astype(acc_dtype),
+                 jnp.ones(logits.shape[:-1] + (1,), acc_dtype),
+                 jnp.zeros(logits.shape[:-1] + (pad,), acc_dtype)], -1)
+            gauss_flat = jnp.reshape(
+                jnp.broadcast_to(gaussian.astype(acc_dtype)[..., None],
+                                 patch + (C_acc,)),
+                patch[:-1] + (patch[-1] * C_acc,))
+            return fused_scatter_accumulate(a, lg, gauss_flat, coords_b,
+                                            valid_b,
+                                            interpret=self._pallas_interpret)
 
         for b in range(B):
             start = [coords_b[b][i] for i in range(len(patch))]
@@ -282,6 +290,40 @@ class SlidingWindowEngine:
         valid[:n_real] = 1.0
         return (coords.reshape(n_tiles // B, B, -1).astype(np.int32),
                 valid.reshape(n_tiles // B, B))
+
+    def _batched_coords_coset(self, coords: np.ndarray,
+                              strides: Tuple[int, ...]
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pallas-path batching: every batch holds pairwise-DISJOINT tiles
+        (the fused kernel's DMA pipeline requirement). With the uniform
+        quantized grid, tiles whose per-axis step indices differ by
+        q = ceil(patch/stride) share no voxels, so group by the per-axis
+        phase tuple (idx % q). Returns (coords (nb, B, dim), n_real (nb,)):
+        batches never span phase groups; padded slots repeat the last real
+        coord but are excluded via the count."""
+        dims = coords.shape[1]
+        B = min(self.tile_batch, max(1, len(coords)))
+        qs, idxs = [], []
+        for a in range(1, dims):  # axis 0 (x) is constant within a chunk
+            stride = max(1, strides[a - 1])
+            qs.append(-(-self.patch_size[a] // stride))
+            idxs.append(coords[:, a] // stride)
+        groups: dict = {}
+        for t in range(len(coords)):
+            key = tuple(int(idxs[a][t]) % qs[a] for a in range(len(qs)))
+            groups.setdefault(key, []).append(t)
+        batches, counts = [], []
+        for key in sorted(groups):
+            members = groups[key]
+            for s in range(0, len(members), B):
+                chunk = members[s:s + B]
+                n = len(chunk)
+                while len(chunk) < B:
+                    chunk.append(chunk[-1])
+                batches.append(coords[chunk])
+                counts.append(n)
+        return (np.stack(batches).astype(np.int32),
+                np.asarray(counts, np.int32))
 
     def _prepare_sub(self, volume: np.ndarray, steps: List[List[int]]):
         """Pad a (sub)volume to bucketed shape, build the batched tile-coord
@@ -944,7 +986,14 @@ class SlidingWindowEngine:
         # prepend a zero x column so batched coords are (B, dim)
         coords_full = np.concatenate(
             [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
-        coords_b, valid_b = self._batched_coords(coords_full)
+        if use_pallas:
+            plane_strides = tuple(
+                s[1] - s[0] if len(s) > 1 else self.patch_size[a + 1]
+                for a, s in enumerate(steps_rest))
+            coords_b, valid_b = self._batched_coords_coset(coords_full,
+                                                           plane_strides)
+        else:
+            coords_b, valid_b = self._batched_coords(coords_full)
 
         plane_padded = tuple(_round_up(t, self.shape_bucket) for t in tight_rest)
         vol_shape = (x_extent, *plane_padded)
