@@ -77,6 +77,7 @@ def test_resenc_forward():
     assert out.shape == (1, 8, 8, 8, 4)
 
 
+@pytest.mark.slow
 def test_2d_network():
     kw = {
         "n_stages": 3, "features_per_stage": [8, 16, 32],
