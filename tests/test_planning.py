@@ -51,7 +51,6 @@ def synth_env(tmp_path_factory):
     return {"raw": raw, "pre": pre, "res": res, "ds": ds}
 
 
-@pytest.mark.slow
 def test_fingerprint_plan_preprocess_e2e(synth_env):
     from fast_nnunet_tpu.planning.fingerprint import DatasetFingerprintExtractor
     from fast_nnunet_tpu.planning.planner import ExperimentPlanner
