@@ -2,6 +2,7 @@
 // (ref engine/fast_nnunet.cpp:12-31: Eva::initializer -> set_config ->
 // set_workspace -> LoadData -> infer -> save_mask).
 #include <chrono>
+#include <cstdlib>
 #include <cstring>
 #include <iostream>
 #include <string>
@@ -56,9 +57,21 @@ int main(int argc, char** argv) {
         fast_nnunet::FastnnUNet::Engine engine;
         engine.set_config(config);
         engine.set_workspace(workspace, verbose);
+        // reference flow parity: the INI's [model] file_name names the
+        // compiled model; with a StableHLO artifact there and a PJRT plugin
+        // from the environment, the in-process backend needs no extra flags
+        const std::string& model_file = engine.config().file_name;
+        if (artifact.empty() && model_file.size() > 5 &&
+            model_file.compare(model_file.size() - 5, 5, ".mlir") == 0)
+            artifact = model_file;
+        if (pjrt_plugin.empty() && !artifact.empty()) {
+            if (const char* env = std::getenv("FNN_PJRT_PLUGIN"))
+                pjrt_plugin = env;
+        }
         if (!pjrt_plugin.empty()) {
             if (artifact.empty())
-                throw std::runtime_error("--pjrt needs --artifact");
+                throw std::runtime_error("--pjrt needs --artifact (or a "
+                                         ".mlir file_name in the INI)");
             engine.set_backend(fast_nnunet::make_pjrt_backend(
                 pjrt_plugin, artifact, !fp32_input));
         } else if (!endpoint.empty()) {
