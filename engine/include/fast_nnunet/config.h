@@ -29,6 +29,9 @@ struct EngineConfig {
     bool use_mirroring = false;
     float step_size = 0.5f;
     bool use_gaussian = true;
+    // tiles per device call on the in-process PJRT backend; must match the
+    // batch dimension the StableHLO artifact was exported with (-b)
+    int tile_batch = 1;
 
     static EngineConfig from_ini(const std::string& path);
 };

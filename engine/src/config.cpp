@@ -78,6 +78,7 @@ EngineConfig EngineConfig::from_ini(const std::string& path) {
     c.use_mirroring = parse_bool(get("inference", "use_mirroring", "false"));
     c.step_size = std::stof(get("inference", "step_size", "0.5"));
     c.use_gaussian = parse_bool(get("inference", "use_gaussian", "true"));
+    c.tile_batch = std::stoi(get("inference", "tile_batch", "1"));
     return c;
 }
 

@@ -377,83 +377,96 @@ class PjrtBackend : public Backend {
                                      1.f);
 
         const size_t patch_n = size_t(patch[0]) * patch[1] * patch[2];
+        const int B = std::max(1, cfg.tile_batch);
         std::vector<float> acc(size_t(K) * padded[0] * padded[1] * padded[2],
                                0.f);
         std::vector<float> wsum(size_t(padded[0]) * padded[1] * padded[2], 0.f);
-        std::vector<float> tile(patch_n);
-        std::vector<uint16_t> tile_bf16(bf16_input_ ? patch_n : 0);
-        std::vector<float> logits_f32(patch_n * K);
+        std::vector<float> tiles(size_t(B) * patch_n);
+        std::vector<uint16_t> tiles_bf16(bf16_input_ ? size_t(B) * patch_n : 0);
+        std::vector<float> logits_f32(size_t(B) * patch_n * K);
         std::vector<uint16_t> logits_bf16;
         const size_t n_out = ctx_.num_outputs();
         if (n_out != 1)
             throw std::runtime_error("expected single-output executable");
 
-        // executable input layout: (1, px, py, pz, 1) channels-last
-        std::vector<int64_t> in_dims = {1, patch[0], patch[1], patch[2], 1};
+        // executable input layout: (B, px, py, pz, 1) channels-last; B must
+        // match the batch dimension the artifact was exported with
+        std::vector<int64_t> in_dims = {B, patch[0], patch[1], patch[2], 1};
 
+        std::vector<std::array<int64_t, 3>> starts;
         for (int64_t x0 : sx)
             for (int64_t y0 : sy)
-                for (int64_t z0 : sz) {
-                    // crop (x fastest in volume) -> row-major (px,py,pz) order
-                    // expected by the channels-last executable: element
-                    // (i,j,k) at i*py*pz + j*pz + k
-                    for (int i = 0; i < patch[0]; ++i)
-                        for (int j = 0; j < patch[1]; ++j)
-                            for (int k = 0; k < patch[2]; ++k)
-                                tile[size_t(i) * patch[1] * patch[2] +
-                                     size_t(j) * patch[2] + k] =
-                                    vol[(x0 + i) +
-                                        padded[0] * ((y0 + j) +
-                                                     padded[1] * (z0 + k))];
+                for (int64_t z0 : sz) starts.push_back({x0, y0, z0});
 
-                    PJRT_Buffer* in;
-                    if (bf16_input_) {
-                        for (size_t p = 0; p < patch_n; ++p)
-                            tile_bf16[p] = f32_to_bf16(tile[p]);
-                        in = ctx_.to_device(tile_bf16.data(),
-                                            PJRT_Buffer_Type_BF16, in_dims);
-                    } else {
-                        in = ctx_.to_device(tile.data(), PJRT_Buffer_Type_F32,
-                                            in_dims);
+        auto crop_tile = [&](size_t slot, const std::array<int64_t, 3>& s) {
+            // crop (x fastest in volume) -> row-major (px,py,pz) order
+            // expected by the channels-last executable
+            float* dst = tiles.data() + slot * patch_n;
+            for (int i = 0; i < patch[0]; ++i)
+                for (int j = 0; j < patch[1]; ++j)
+                    for (int k = 0; k < patch[2]; ++k)
+                        dst[size_t(i) * patch[1] * patch[2] +
+                            size_t(j) * patch[2] + k] =
+                            vol[(s[0] + i) +
+                                padded[0] * ((s[1] + j) +
+                                             padded[1] * (s[2] + k))];
+        };
+        auto accumulate_tile = [&](size_t slot,
+                                   const std::array<int64_t, 3>& s) {
+            const float* lg = logits_f32.data() + slot * patch_n * K;
+            for (int i = 0; i < patch[0]; ++i)
+                for (int j = 0; j < patch[1]; ++j)
+                    for (int k = 0; k < patch[2]; ++k) {
+                        size_t g = size_t(i) * patch[1] * patch[2] +
+                                   size_t(j) * patch[2] + k;
+                        float w = gauss[g];
+                        size_t v = (s[0] + i) +
+                                   padded[0] * ((s[1] + j) +
+                                                padded[1] * (s[2] + k));
+                        wsum[v] += w;
+                        for (int c = 0; c < K; ++c)
+                            acc[size_t(c) * padded[0] * padded[1] * padded[2] +
+                                v] += w * lg[g * K + c];
                     }
-                    auto outs = ctx_.execute({in}, 1);
-                    ctx_.destroy_buffer(in);
+        };
 
-                    // fetch logits (1, px, py, pz, K)
-                    PJRT_Buffer_Type ot = ctx_.element_type(outs[0]);
-                    if (ot == PJRT_Buffer_Type_BF16) {
-                        logits_bf16.resize(patch_n * K);
-                        ctx_.to_host(outs[0], logits_bf16.data(),
-                                     logits_bf16.size() * 2);
-                        for (size_t p = 0; p < patch_n * K; ++p)
-                            logits_f32[p] = bf16_to_f32(logits_bf16[p]);
-                    } else if (ot == PJRT_Buffer_Type_F32) {
-                        ctx_.to_host(outs[0], logits_f32.data(),
-                                     logits_f32.size() * 4);
-                    } else {
-                        throw std::runtime_error(
-                            "unexpected executable output dtype");
-                    }
-                    ctx_.destroy_buffer(outs[0]);
+        for (size_t t0 = 0; t0 < starts.size(); t0 += size_t(B)) {
+            size_t n_real = std::min(size_t(B), starts.size() - t0);
+            for (size_t b = 0; b < size_t(B); ++b)  // pad by repeating the last
+                crop_tile(b, starts[t0 + std::min(b, n_real - 1)]);
 
-                    // gaussian-weighted accumulate
-                    for (int i = 0; i < patch[0]; ++i)
-                        for (int j = 0; j < patch[1]; ++j)
-                            for (int k = 0; k < patch[2]; ++k) {
-                                size_t g = size_t(i) * patch[1] * patch[2] +
-                                           size_t(j) * patch[2] + k;
-                                float w = gauss[g];
-                                size_t v =
-                                    (x0 + i) +
-                                    padded[0] * ((y0 + j) +
-                                                 padded[1] * (z0 + k));
-                                wsum[v] += w;
-                                for (int c = 0; c < K; ++c)
-                                    acc[size_t(c) * padded[0] * padded[1] *
-                                            padded[2] +
-                                        v] += w * logits_f32[g * K + c];
-                            }
-                }
+            PJRT_Buffer* in;
+            if (bf16_input_) {
+                for (size_t p = 0; p < size_t(B) * patch_n; ++p)
+                    tiles_bf16[p] = f32_to_bf16(tiles[p]);
+                in = ctx_.to_device(tiles_bf16.data(), PJRT_Buffer_Type_BF16,
+                                    in_dims);
+            } else {
+                in = ctx_.to_device(tiles.data(), PJRT_Buffer_Type_F32,
+                                    in_dims);
+            }
+            auto outs = ctx_.execute({in}, 1);
+            ctx_.destroy_buffer(in);
+
+            // fetch logits (B, px, py, pz, K)
+            PJRT_Buffer_Type ot = ctx_.element_type(outs[0]);
+            if (ot == PJRT_Buffer_Type_BF16) {
+                logits_bf16.resize(size_t(B) * patch_n * K);
+                ctx_.to_host(outs[0], logits_bf16.data(),
+                             logits_bf16.size() * 2);
+                for (size_t p = 0; p < logits_bf16.size(); ++p)
+                    logits_f32[p] = bf16_to_f32(logits_bf16[p]);
+            } else if (ot == PJRT_Buffer_Type_F32) {
+                ctx_.to_host(outs[0], logits_f32.data(),
+                             logits_f32.size() * 4);
+            } else {
+                throw std::runtime_error("unexpected executable output dtype");
+            }
+            ctx_.destroy_buffer(outs[0]);
+
+            for (size_t b = 0; b < n_real; ++b)
+                accumulate_tile(b, starts[t0 + b]);
+        }
 
         // normalize + crop padding back off; output layout (K, nx, ny, nz)
         Logits out;

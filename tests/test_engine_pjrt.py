@@ -116,6 +116,56 @@ def test_pjrt_backend_matches_python_predictor(built_engine, shim, tmp_path):
     assert agreement > 0.995, f"only {agreement:.4f} voxel agreement"
 
 
+def test_pjrt_backend_tile_batching(built_engine, shim, tmp_path):
+    """tile_batch=2 in the INI with a -b 2 artifact: batched device calls
+    (last batch padded by repeating a tile) must give the same mask as the
+    per-tile path."""
+    import jax
+    import jax.export as jexport
+    import jax.numpy as jnp
+    from fast_nnunet_tpu.imageio.nifti import read_nifti, write_nifti
+    from fast_nnunet_tpu.models.factory import get_network_from_plans
+
+    net = get_network_from_plans("PlainConvUNet", KW, (), 1, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *PATCH, 1)),
+                      deep_supervision=False)
+
+    def forward(x):
+        return net.apply(params, x, deep_supervision=False)
+
+    arts = {}
+    for b in (1, 2):
+        exported = jexport.export(jax.jit(forward))(
+            jax.ShapeDtypeStruct((b, *PATCH, 1), jnp.float32))
+        arts[b] = str(tmp_path / f"model_b{b}.mlir")
+        with open(arts[b], "wb") as f:
+            f.write(exported.mlir_module_serialized)
+
+    img = (np.random.RandomState(2).rand(14, 12, 11) * 400).astype(np.float32)
+    ct = str(tmp_path / "ct.nii.gz")
+    write_nifti(ct, img, spacing=(1.0, 1.0, 1.0))
+
+    masks = {}
+    for b in (1, 2):
+        ini = str(tmp_path / f"model_b{b}.ini")
+        with open(ini, "w") as f:
+            f.write("[model]\nnum_class=3\n[input]\npatch_size=8x8x8\n"
+                    "target_spacing=(1.0,1.0,1.0)\n"
+                    "[preprocessing]\nmean=200\nstd=120\nlower_bound=0\n"
+                    "upper_bound=400\n"
+                    f"[inference]\nstep_size=0.5\ntile_batch={b}\n")
+        out = str(tmp_path / f"mask_b{b}.nii.gz")
+        r = subprocess.run(
+            [os.path.join(built_engine, "fast_nnunet_engine"), "--config",
+             ini, "--input", ct, "--output", out, "--pjrt", shim,
+             "--artifact", arts[b], "--fp32-input"],
+            capture_output=True, text=True, timeout=600, env=_shim_env())
+        assert r.returncode == 0, r.stdout + r.stderr
+        masks[b], _ = read_nifti(out)
+    np.testing.assert_array_equal(masks[1], masks[2])
+
+
 def test_pjrt_backend_missing_plugin_errors_cleanly(built_engine, tmp_path):
     from fast_nnunet_tpu.imageio.nifti import write_nifti
     img = np.zeros((10, 10, 10), np.float32)
