@@ -90,10 +90,16 @@ def main():
     assert seg.shape == (size, size, size)
 
     times = []
+    budget_end = time.perf_counter() + float(
+        os.environ.get("BENCH_REPEAT_BUDGET_S", 360))
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         predict(params, vol)
         times.append(time.perf_counter() - t0)
+        # the dev tunnel's run-to-run variance is ~2x; stop repeating rather
+        # than risk the caller's timeout (docs/Performance.md round-2 notes)
+        if time.perf_counter() > budget_end:
+            break
     best = min(times)
     print("per-run seconds:", [round(t, 2) for t in times], file=sys.stderr)
 
