@@ -19,25 +19,8 @@ from ..ops.resampling import compute_new_shape, resample_data_or_seg_to_shape
 from ..postprocessing.connected_components import \
     remove_all_but_largest_component_from_segmentation
 from ..utils.io import isfile, join, maybe_mkdir_p, subfiles
+from ..utils.misc import enable_persistent_compile_cache
 from .config_manager import ConfigManager
-
-
-def _enable_persistent_compile_cache() -> None:
-    """Serving cold-start: first compile of a 512^3 sweep takes minutes; the
-    persistent cache makes every later daemon start near-instant. Opt out
-    with FNN_COMPILE_CACHE=0, redirect with FNN_COMPILE_CACHE=<dir>."""
-    target = os.environ.get("FNN_COMPILE_CACHE", "")
-    if target == "0":
-        return
-    import jax
-    if jax.config.jax_compilation_cache_dir:
-        return  # caller already configured one
-    if not target:
-        target = join(os.path.expanduser("~"), ".cache", "fast_nnunet_tpu",
-                      "jax_cache")
-    maybe_mkdir_p(target)
-    jax.config.update("jax_compilation_cache_dir", target)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 class _ArtifactNetwork:
@@ -61,7 +44,7 @@ class FastnnUNetInferencer:
                  folds=None, tile_step_size: Optional[float] = None,
                  use_mirroring: Optional[bool] = None,
                  verbose: bool = False):
-        _enable_persistent_compile_cache()
+        enable_persistent_compile_cache()
         self.verbose = verbose
         self.config: Optional[ConfigManager] = None
         self.engine = None

@@ -34,6 +34,8 @@ class NNUNetPredictor:
                  perform_everything_on_device: bool = True,
                  device=None, verbose: bool = False,
                  allow_tqdm: bool = True):
+        from ..utils.misc import enable_persistent_compile_cache
+        enable_persistent_compile_cache()
         self.tile_step_size = tile_step_size
         self.use_gaussian = use_gaussian
         self.use_mirroring = use_mirroring

@@ -96,3 +96,23 @@ def collate_outputs(outputs: List[dict]) -> dict:
 def dummy_context():
     import contextlib
     return contextlib.nullcontext()
+
+
+def enable_persistent_compile_cache() -> None:
+    """Serving cold-start: first compile of a 512^3 sliding-window sweep takes
+    minutes; the persistent cache makes every later process start near-instant.
+    Opt out with FNN_COMPILE_CACHE=0, redirect with FNN_COMPILE_CACHE=<dir>.
+    No-op when the caller already configured a cache dir."""
+    import os
+    target = os.environ.get("FNN_COMPILE_CACHE", "")
+    if target == "0":
+        return
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return
+    if not target:
+        target = os.path.join(os.path.expanduser("~"), ".cache",
+                              "fast_nnunet_tpu", "jax_cache")
+    os.makedirs(target, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", target)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
