@@ -55,14 +55,18 @@ def get_trainer_from_args(dataset_name_or_id, configuration: str, fold,
 
 
 def maybe_load_checkpoint(trainer: NNUNetTrainer, continue_training: bool,
-                          validation_only: bool) -> None:
+                          validation_only: bool,
+                          val_best: bool = False) -> None:
     """checkpoint_final -> latest -> best, same precedence as the reference
-    (run_training.py:70-98)."""
+    (run_training.py:70-98); --val_best validates the best-EMA checkpoint
+    instead (ref :84-90)."""
     if not (continue_training or validation_only):
         return
     expected = None
-    for name in ("checkpoint_final.fnnx", "checkpoint_latest.fnnx",
-                 "checkpoint_best.fnnx"):
+    names = ("checkpoint_best.fnnx",) if val_best and validation_only else \
+        ("checkpoint_final.fnnx", "checkpoint_latest.fnnx",
+         "checkpoint_best.fnnx")
+    for name in names:
         if isfile(join(trainer.output_folder, name)):
             expected = join(trainer.output_folder, name)
             break
@@ -119,6 +123,7 @@ def run_training(dataset_name_or_id, configuration: str, fold,
                  continue_training: bool = False,
                  only_run_validation: bool = False,
                  disable_checkpointing: bool = False,
+                 val_best: bool = False,
                  export_validation_probabilities: bool = False,
                  num_hosts: int = 1,
                  coordinator_address: str = None,
@@ -139,12 +144,14 @@ def run_training(dataset_name_or_id, configuration: str, fold,
     trainer = get_trainer_from_args(dataset_name_or_id, configuration, fold,
                                     trainer_name, plans_identifier,
                                     **trainer_kwargs)
+    trainer.disable_checkpointing = disable_checkpointing
     if pretrained_weights is not None:
         if continue_training:
             raise RuntimeError("-pretrained_weights and --c are mutually "
                                "exclusive (same as the reference CLI)")
         load_pretrained_weights(trainer, pretrained_weights)
-    maybe_load_checkpoint(trainer, continue_training, only_run_validation)
+    maybe_load_checkpoint(trainer, continue_training, only_run_validation,
+                          val_best)
     if not only_run_validation:
         trainer.run_training()
     trainer.perform_actual_validation(export_validation_probabilities)
@@ -166,6 +173,14 @@ def run_training_entry():
     parser.add_argument("--val", action="store_true", dest="validation_only")
     parser.add_argument("--npz", action="store_true",
                         help="export validation probabilities")
+    parser.add_argument("--val_best", action="store_true",
+                        help="with --val: validate checkpoint_best instead of "
+                             "final/latest (ref run_training.py:239-243)")
+    parser.add_argument("--disable_checkpointing", action="store_true",
+                        help="do not write any checkpoints (benchmarking)")
+    parser.add_argument("-device", default="tpu",
+                        help="accepted for CLI parity (tpu|cpu); set "
+                             "JAX_PLATFORMS to actually switch backends")
     parser.add_argument("-num_gpus", type=int, default=1,
                         help="accepted for CLI parity; the mesh uses all visible "
                              "devices automatically")
@@ -185,6 +200,8 @@ def run_training_entry():
                  pretrained_weights=args.pretrained_weights,
                  continue_training=args.continue_training,
                  only_run_validation=args.validation_only,
+                 disable_checkpointing=args.disable_checkpointing,
+                 val_best=args.val_best,
                  export_validation_probabilities=args.npz,
                  num_hosts=args.num_hosts,
                  coordinator_address=args.coordinator,

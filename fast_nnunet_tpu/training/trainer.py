@@ -67,6 +67,7 @@ class NNUNetTrainer:
         self.current_epoch = 0
         self.enable_deep_supervision = True
         self.save_every = 50
+        self.disable_checkpointing = False
         self.compute_dtype = jnp.bfloat16
 
         self._best_ema = None
@@ -434,7 +435,10 @@ class NNUNetTrainer:
     @property
     def _writes_checkpoints(self) -> bool:
         """pickle checkpoints are written by rank 0 only; orbax saves are
-        collective — every host participates and writes its own shards."""
+        collective — every host participates and writes its own shards.
+        --disable_checkpointing suppresses all writes (benchmarking)."""
+        if self.disable_checkpointing:
+            return False
         return (self.is_main_process
                 or os.environ.get("FNN_CKPT_BACKEND") == "orbax")
 
