@@ -27,12 +27,19 @@ def predict_entry_point():
     parser.add_argument("-prev_stage_predictions", default=None)
     parser.add_argument("-num_parts", type=int, default=1)
     parser.add_argument("-part_id", type=int, default=0)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("-device", default="tpu",
+                        help="accepted for CLI parity (tpu|cpu); set "
+                             "JAX_PLATFORMS to actually switch backends")
+    parser.add_argument("--disable_progress_bar", action="store_true",
+                        help="accepted for CLI parity (we log per case)")
     args = parser.parse_args()
 
     model_folder = get_output_folder(args.d, args.tr, args.p, args.c)
     predictor = NNUNetPredictor(tile_step_size=args.step_size,
                                 use_gaussian=True,
-                                use_mirroring=not args.disable_tta)
+                                use_mirroring=not args.disable_tta,
+                                verbose=args.verbose)
     predictor.initialize_from_trained_model_folder(
         model_folder,
         use_folds=args.f,
