@@ -33,7 +33,8 @@ def export_model_folder_to_artifact(
         checkpoint_name: str = "checkpoint_final.fnnx",
         batch_size: int = 1,
         validate: bool = True,
-        dtype: str = "bfloat16") -> str:
+        dtype: str = "bfloat16",
+        bake_mirroring: bool = False) -> str:
     """Export one fold of a trained model folder to
     <output_folder>/{model.stablehlo, model_config.json, weights.npz}."""
     import jax
@@ -73,8 +74,27 @@ def export_model_folder_to_artifact(
     params = restore_params(template, ckpt["network_weights"])
 
     # bake weights in (like ONNX initializers): close over params
+    mirror_axes = tuple(ckpt.get("inference_allowed_mirroring_axes") or []) \
+        if bake_mirroring else ()
+
     def forward(x):
-        return network.apply(params, x, deep_supervision=False)
+        if not mirror_axes:
+            return network.apply(params, x, deep_supervision=False)
+        # bake mirror-TTA into the artifact: flips-average inside the traced
+        # computation, so PJRT consumers (the C++ engine) get test-time
+        # mirroring without any native code
+        import itertools
+        import jax.numpy as jnp
+        combos = [c for r in range(len(mirror_axes) + 1)
+                  for c in itertools.combinations(mirror_axes, r)]
+        acc = None
+        for combo in combos:
+            axes = tuple(a + 1 for a in combo)
+            xin = jnp.flip(x, axes) if combo else x
+            out = network.apply(params, xin, deep_supervision=False)
+            out = jnp.flip(out, axes) if combo else out
+            acc = out if acc is None else acc + out
+        return acc / len(combos)
 
     in_shape = jax.ShapeDtypeStruct((batch_size, *patch, num_in), compute_dtype)
     exported = jexport.export(jax.jit(forward))(in_shape)
@@ -113,7 +133,10 @@ def export_model_folder_to_artifact(
         "file_ending": dataset_json.get("file_ending", ".nii.gz"),
         "tile_step_size": 0.5,
         "use_gaussian": True,
-        "use_mirroring": False,
+        "use_mirroring": bool(mirror_axes),
+        # True = flips-average already traced into the artifact: consumers
+        # must NOT add their own test-time mirroring on top
+        "mirroring_baked_into_artifact": bool(mirror_axes),
         "inference_allowed_mirroring_axes":
             list(ckpt.get("inference_allowed_mirroring_axes") or []),
         "trainer_name": trainer_name,
@@ -123,7 +146,7 @@ def export_model_folder_to_artifact(
     save_json(meta, join(output_folder, "model_config.json"), sort_keys=False)
 
     if validate:
-        rel = validate_exported_artifact(artifact_path, network, params,
+        rel = validate_exported_artifact(artifact_path, forward,
                                          (batch_size, *patch, num_in),
                                          compute_dtype)
         print(f"Export validation: max relative deviation {rel:.2e}")
@@ -131,11 +154,11 @@ def export_model_folder_to_artifact(
     return artifact_path
 
 
-def validate_exported_artifact(artifact_path: str, network, params,
+def validate_exported_artifact(artifact_path: str, reference_fn,
                                input_shape: Sequence[int], compute_dtype) -> float:
-    """Reload the artifact and compare against the native forward (the
-    reference's onnxruntime parity check, ref export_onnx.py:476-503)."""
-    import jax
+    """Reload the artifact and compare against the native forward closure —
+    including any baked-in mirror-TTA (the reference's onnxruntime parity
+    check, ref export_onnx.py:476-503)."""
     import jax.export as jexport
     import jax.numpy as jnp
 
@@ -144,7 +167,7 @@ def validate_exported_artifact(artifact_path: str, network, params,
     x = (np.random.RandomState(0).rand(*input_shape).astype(np.float32) - 0.5)
     xa = jnp.asarray(x, compute_dtype)
     got = np.asarray(restored.call(xa), np.float32)
-    want = np.asarray(network.apply(params, xa, deep_supervision=False), np.float32)
+    want = np.asarray(reference_fn(xa), np.float32)
     denom = np.abs(want).max() + 1e-6
     rel = float(np.abs(got - want).max() / denom)
     if rel > 1e-2:
@@ -165,11 +188,15 @@ def export_entry():
     parser.add_argument("-chk", default="checkpoint_final.fnnx")
     parser.add_argument("-b", type=int, default=1, help="batch size")
     parser.add_argument("--no_validate", action="store_true")
+    parser.add_argument("--tta", action="store_true",
+                        help="bake mirror-TTA (flips-average over the "
+                             "training mirror axes) into the artifact")
     args = parser.parse_args()
     model_folder = get_output_folder(args.d, args.tr, args.p, args.c)
     out = args.o or join(model_folder, f"fold_{args.f}", "export")
     export_model_folder_to_artifact(model_folder, args.f, out, args.chk, args.b,
-                                    not args.no_validate)
+                                    not args.no_validate,
+                                    bake_mirroring=args.tta)
 
 
 # reference CLI names (distillation/setup.py:11-18) map onto the same exporter

@@ -68,6 +68,10 @@ class ConfigManager:
         return bool(self.config.get("use_mirroring", False))
 
     @property
+    def mirroring_baked_into_artifact(self) -> bool:
+        return bool(self.config.get("mirroring_baked_into_artifact", False))
+
+    @property
     def mirror_axes(self):
         return tuple(self.config.get("inference_allowed_mirroring_axes", (0, 1, 2)))
 

@@ -68,6 +68,10 @@ class FastnnUNetInferencer:
         num_classes = cfg.num_classes or (len(cfg.labels) if cfg.labels else None)
         assert num_classes, "config must specify num_classes or labels"
         mirroring = cfg.use_mirroring if use_mirroring is None else use_mirroring
+        # artifacts exported with --tta already average flips inside the
+        # traced computation: never flip again at the engine level
+        if cfg.mirroring_baked_into_artifact:
+            mirroring = False
         self.engine = SlidingWindowEngine(
             network, cfg.patch_size, num_classes,
             tile_step_size=tile_step_size or cfg.tile_step_size,

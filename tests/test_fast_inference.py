@@ -91,3 +91,19 @@ def test_export_and_artifact_inference(tmp_path_factory):
     assert "seconds" in result
     if "vtk_model" in result:
         assert isfile(result["vtk_model"])
+
+    # --tta export: mirror-TTA baked into the traced artifact (validated
+    # against the flips-average reference inside the exporter), and the
+    # sidecar tells consumers not to flip again
+    tta_dir = join(root, "export_tta")
+    export_model_folder_to_artifact(tr.output_folder_base, 0, tta_dir,
+                                    dtype="float32", bake_mirroring=True)
+    meta = load_json(join(tta_dir, "model_config.json"))
+    assert meta["mirroring_baked_into_artifact"] is True
+    assert meta["use_mirroring"] is True
+    inf_tta = FastnnUNetInferencer(config_file=join(tta_dir,
+                                                    "model_config.json"))
+    assert inf_tta.engine.mirror_axes == ()  # no double TTA
+    out2 = str(tmp_path_factory.mktemp("out_tta") / "seg.nii.gz")
+    inf_tta.predict_single_image(case, out2)
+    assert isfile(out2)
