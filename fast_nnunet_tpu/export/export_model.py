@@ -31,7 +31,7 @@ from ..utils.misc import get_output_folder, maybe_convert_to_dataset_name
 def export_model_folder_to_artifact(
         model_training_output_dir: str, fold, output_folder: str,
         checkpoint_name: str = "checkpoint_final.fnnx",
-        batch_size: int = 1,
+        batch_size: int = 8,
         validate: bool = True,
         dtype: str = "bfloat16",
         bake_mirroring: bool = False) -> str:
@@ -186,7 +186,11 @@ def export_entry():
     parser.add_argument("-p", default="nnUNetPlans")
     parser.add_argument("-o", default=None, help="output folder")
     parser.add_argument("-chk", default="checkpoint_final.fnnx")
-    parser.add_argument("-b", type=int, default=1, help="batch size")
+    parser.add_argument("-b", type=int, default=8,
+                        help="tile batch size baked into the artifact "
+                             "(8 fills the MXU at distilled widths — the "
+                             "measured 2.5x round-1 win; the Python and C++ "
+                             "serving paths both read it from input_shape)")
     parser.add_argument("--no_validate", action="store_true")
     parser.add_argument("--tta", action="store_true",
                         help="bake mirror-TTA (flips-average over the "

@@ -52,8 +52,27 @@ class ConfigManager:
         return self.config.get("num_classes")
 
     @property
+    def tile_batch(self) -> int:
+        """Tile batch the artifact was exported with. StableHLO artifacts have
+        a FIXED leading batch dim (export_model.py `-b`); serving must feed
+        exactly that many patches per call, so the engine's tile_batch is not
+        a free knob on the artifact path — it is read from the exported
+        input_shape (fallback: explicit tile_batch key, then 1)."""
+        shape = self.config.get("input_shape")
+        if shape:
+            return max(1, int(shape[0]))
+        return max(1, int(self.config.get("tile_batch", 1)))
+
+    @property
     def labels(self) -> Optional[dict]:
         return self.config.get("labels")
+
+    @property
+    def compute_dtype(self) -> str:
+        """Engine compute dtype — matches what the artifact was traced with
+        (export_model.py writes it) so the serving path doesn't round patch
+        data through bfloat16 in front of a float32 artifact."""
+        return str(self.config.get("compute_dtype", "bfloat16"))
 
     @property
     def tile_step_size(self) -> float:

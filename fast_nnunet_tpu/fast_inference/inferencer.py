@@ -12,7 +12,7 @@ from typing import List, Optional, Sequence, Union
 
 import numpy as np
 
-from ..imageio.nifti import NiftiIO
+from ..imageio.nifti import NiftiIOWithReorient
 from ..ops.cropping import crop_to_nonzero
 from ..ops.normalization import get_normalization_scheme_by_class_name
 from ..ops.resampling import compute_new_shape, resample_data_or_seg_to_shape
@@ -77,8 +77,11 @@ class FastnnUNetInferencer:
             tile_step_size=tile_step_size or cfg.tile_step_size,
             use_gaussian=cfg.use_gaussian,
             mirror_axes=cfg.mirror_axes if mirroring else (),
-            compute_dtype=jnp.bfloat16,
-            tile_batch=1)  # exported artifacts have a fixed batch dim
+            compute_dtype=jnp.dtype(cfg.compute_dtype)
+            if cfg.compute_dtype != "bfloat16" else jnp.bfloat16,
+            # artifacts have a FIXED batch dim (export -b, default 8): feed
+            # exactly that many patches per call, padding short batches
+            tile_batch=cfg.tile_batch, pad_to_tile_batch=True)
         self._params = [{}]  # weights are baked into the artifact
         self.config = cfg
         self._model_info = {"source": "artifact", "config_file": config_file,
@@ -123,15 +126,17 @@ class FastnnUNetInferencer:
                              decimation_factor: float = 0.2) -> dict:
         t0 = time.time()
         if self.predictor is not None:
-            seg, props = self._predict_via_predictor(input_file, output_file,
-                                                     save_probabilities)
+            seg, props, rw = self._predict_via_predictor(input_file, output_file,
+                                                         save_probabilities)
         else:
-            seg, props = self._predict_via_artifact(input_file, output_file)
+            seg, props, rw = self._predict_via_artifact(input_file, output_file)
 
         if largest_component_postprocessing:
             fg = sorted(set(np.unique(seg).tolist()) - {0})
             seg = remove_all_but_largest_component_from_segmentation(seg, fg)
-            NiftiIO().write_seg(seg, output_file, props)
+            # same reader-writer that produced the original output: geometry
+            # (and any reorientation restore) stays consistent
+            rw.write_seg(seg, output_file, props)
 
         result = {"input": input_file, "output": output_file,
                   "seconds": round(time.time() - t0, 3),
@@ -156,14 +161,20 @@ class FastnnUNetInferencer:
                                           save_probabilities=save_probabilities)
         rw = self.predictor.plans_manager.image_reader_writer_class()()
         seg, props = rw.read_seg(out_trunc + fe)
-        return seg[0], props
+        return seg[0], props, rw
 
     def _predict_via_artifact(self, input_file: str, output_file: str):
         """Documented pipeline (docs/Inference.md:118-147) on the artifact path:
-        read -> transpose -> crop -> normalize -> resample -> sliding window ->
-        resample back -> argmax -> uncrop -> untranspose -> save."""
+        reorient-to-canonical -> transpose -> crop -> normalize -> resample ->
+        sliding window -> resample back -> argmax -> uncrop -> untranspose ->
+        restore original orientation -> save.
+
+        The reference's documented step 1 is LPS canonicalization (ref
+        docs/Inference.md:118-147, simpleitk_reader_writer.py:132-231); using a
+        plain reader here would silently segment a non-canonically-stored NIfTI
+        in voxel order against a canonically-trained model."""
         cfg = self.config
-        rw = NiftiIO()
+        rw = NiftiIOWithReorient()
         data, props = rw.read_images([input_file])
 
         tf = cfg.transpose_forward
@@ -198,7 +209,7 @@ class FastnnUNetInferencer:
         seg[tuple(slice(b[0], b[1]) for b in bbox)] = seg_cropped
         seg = seg.transpose(cfg.transpose_backward)
         rw.write_seg(seg, output_file, props)
-        return seg, props
+        return seg, props, rw
 
     def predict_batch(self, input_folder: str, output_folder: str,
                       pattern_suffix: str = ".nii.gz", **kwargs) -> List[dict]:
