@@ -10,8 +10,21 @@ sharded uint8 segmentation only.
 
 Grid-exact: the tile grid is the reference's evenly-spread sliding-window
 placement on EVERY axis (identical to the single-chip sweep and to
-``predict_logits``), so the multi-chip result equals the single-chip result
-voxel-for-voxel — tiles are only *assigned* to devices, never moved.
+``predict_logits``) — tiles are only *assigned* to devices, never moved, so
+every voxel receives exactly the same set of gaussian-weighted contributions.
+
+Exactness contract: rows outside the slab-boundary halo regions are
+BIT-IDENTICAL to the single-chip sweep (same contributions, same addition
+order). Inside a halo region the per-voxel sum combines the neighbor's
+subtotal with the local subtotal, which reassociates the floating-point
+additions relative to the single-chip x-ascending order; logits differ by
+~1 ulp and argmax can flip on near-ties (tests/test_sharded.py pins >= 99%
+agreement on halo rows, 100% elsewhere). True bit-exactness would require
+the receiver to fold the incoming halo in BEFORE its own tiles — with
+owned rows (x_tight / D) smaller than the patch extent every local tile
+overlaps the halo, so that ordering wavefront-serializes the devices and
+forfeits the parallelism this path exists for; the reassociation is the
+designed trade.
 
 There is no analogue in the reference — it is single-GPU for inference — this is
 where the TPU design wins the end-to-end latency target (BASELINE.json: <5 s for
