@@ -27,7 +27,17 @@ def main():
     ap.add_argument("--repeats", type=int, default=4,
                     help="best-of-N (the dev tunnel's run-to-run variance is "
                          "large — see docs/Performance.md round-2 notes)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="end-to-end bench: realistic HU phantom CT through "
+                         "read -> device preprocess -> sweep -> revert -> "
+                         "write (TurboPipeline), the reference engine's "
+                         "whole-pipeline contract (ref docs/Engine.md:31-33)")
+    ap.add_argument("--no_air_skip", action="store_true",
+                    help="(--e2e) disable empty-tile skipping for A/B")
     args = ap.parse_args()
+
+    if args.e2e:
+        return main_e2e(args)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -58,9 +68,12 @@ def main():
                       deep_supervision=False)
 
     import os
-    if os.environ.get("BENCH_S2D", "0") == "1" and not args.tiny:
+    use_s2d_sweep = os.environ.get("BENCH_S2D_SWEEP", "0") == "1" and not args.tiny
+    if (os.environ.get("BENCH_S2D", "0") == "1" or use_s2d_sweep) and not args.tiny:
         # space-to-depth inference transform: outer-octave convs at half res
-        # with 8x channels (exact; 2.2-2.4x on the lane-padded full-res convs)
+        # with 8x channels (exact; 2.2-2.4x on the lane-padded full-res convs).
+        # BENCH_S2D_SWEEP=1 additionally keeps the whole sweep in the s2d
+        # domain (half-res offset-major accumulator, ~1.03x lane pad)
         from __graft_entry__ import _bone_turbo_student_kwargs
         from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
         s2d = make_s2d_engine_net(net, _bone_turbo_student_kwargs(),
@@ -76,7 +89,8 @@ def main():
         shape_bucket=32, tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
         max_accumulator_bytes=4 * 1024 ** 3,
         use_pallas_accumulate=os.environ.get("BENCH_PALLAS_ACC", "0") == "1",
-        use_coset_sweep=os.environ.get("BENCH_COSET", "0") == "1")
+        use_coset_sweep=os.environ.get("BENCH_COSET", "0") == "1",
+        use_s2d_sweep=use_s2d_sweep)
 
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2
@@ -106,6 +120,79 @@ def main():
     print(json.dumps({
         "metric": f"sec/CT volume ({size}^3, {num_classes} classes, bone_turbo "
                   f"sliding-window, r=2 student)",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / best, 2),
+    }))
+
+
+def main_e2e(args):
+    """End-to-end: NIfTI read -> on-device preprocess (normalize + trilinear
+    resample) -> s2d sweep -> on-device nearest revert -> NIfTI write, on the
+    synthetic HU phantom (512x512x450 @ (0.8, 0.8, 1.0) mm -> bone_turbo
+    target spacing). Air-tile skipping on by default (--no_air_skip for A/B)."""
+    import os
+    import tempfile
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+    from __graft_entry__ import _bone_turbo_student, _bone_turbo_student_kwargs
+    from fast_nnunet_tpu.imageio.nifti import write_nifti
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.inference.turbo import TurboConfig, TurboPipeline
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+    from fast_nnunet_tpu.utils.synthetic_ct import make_synthetic_ct
+
+    num_classes = args.classes
+    net = _bone_turbo_student(num_classes=num_classes, dtype=jnp.bfloat16)
+    patch = (96, 96, 160)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1),
+                                                       jnp.bfloat16),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, _bone_turbo_student_kwargs(), num_classes,
+                              dtype=jnp.bfloat16)
+    params = s2d.convert_params(params)
+    engine = SlidingWindowEngine(
+        s2d, patch, num_classes, tile_step_size=0.5, use_gaussian=True,
+        mirror_axes=(), compute_dtype=jnp.bfloat16, acc_dtype=jnp.float32,
+        sweep_acc_dtype=jnp.bfloat16, shape_bucket=32,
+        tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
+        max_accumulator_bytes=4 * 1024 ** 3, use_s2d_sweep=True)
+    cfg = TurboConfig.from_ini(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "engine", "config", "fast_nnunet_bone_turbo.ini"))
+    pipe = TurboPipeline(engine, cfg, air_skip=not args.no_air_skip)
+
+    size = (args.size, args.size, max(64, int(args.size * 0.88)))
+    if args.tiny:
+        size = (48, 48, 40)
+    vol, spacing = make_synthetic_ct(size, (0.8, 0.8, 1.0))
+    tmp = tempfile.mkdtemp(prefix="fnn_e2e_")
+    f_in = os.path.join(tmp, "ct.nii.gz")
+    f_out = os.path.join(tmp, "seg.nii.gz")
+    # vol is (x, y, z) index order; write as-is (reader reverses to (z, y, x))
+    write_nifti(f_in, vol, spacing=spacing)
+
+    stats = pipe.predict_file(params, f_in, f_out)  # warmup (compile)
+    times, best_stats = [], stats
+    budget_end = time.perf_counter() + float(
+        os.environ.get("BENCH_REPEAT_BUDGET_S", 360))
+    for _ in range(args.repeats):
+        stats = pipe.predict_file(params, f_in, f_out)
+        times.append(stats["seconds_total"])
+        if stats["seconds_total"] == min(times):
+            best_stats = stats
+        if time.perf_counter() > budget_end:
+            break
+    best = min(times)
+    print("per-run e2e seconds:", times, "| best breakdown:", best_stats,
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"sec/CT volume E2E ({size[0]}x{size[1]}x{size[2]} HU "
+                  f"phantom, {num_classes} classes, read+preprocess+sweep+"
+                  f"revert+write, air_skip={not args.no_air_skip})",
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / best, 2),

@@ -97,7 +97,9 @@ class SlidingWindowEngine:
                  max_accumulator_bytes: int = 4 * 1024 ** 3,
                  use_pallas_accumulate: bool = False,
                  use_coset_sweep: bool = False,
-                 use_streamed_sweep: bool = False):
+                 use_streamed_sweep: bool = False,
+                 use_s2d_sweep: bool = False,
+                 pad_to_tile_batch: bool = False):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
@@ -122,11 +124,19 @@ class SlidingWindowEngine:
         # even patches). Kept off by default until its HBM layout behavior at
         # 512^3 x 61 classes is confirmed on hardware (see docs/Performance.md)
         self.use_coset_sweep = use_coset_sweep
+        # opt-in: whole sweep in the space-to-depth domain (network must be an
+        # S2DPlainConvUNet): half-res accumulation with 8(K+1) offset-major
+        # channels lane-pads ~1.03x instead of the full-res (K+1)->128 2.1x,
+        # on top of the s2d conv win (see models/s2d.py docstring)
+        self.use_s2d_sweep = use_s2d_sweep
         # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
         # Wins only when per-call dispatch latency is negligible (local PCIe
         # serving); the default single-jit sweep is one device call per volume
         self.use_streamed_sweep = use_streamed_sweep
         self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
+        # exported StableHLO artifacts have a FIXED batch dim: never shrink
+        # the batch below tile_batch for small tile counts (pad instead)
+        self.pad_to_tile_batch = bool(pad_to_tile_batch)
 
         if self.use_gaussian:
             g = compute_gaussian(self.patch_size).astype(np.float32)
@@ -150,13 +160,20 @@ class SlidingWindowEngine:
         return jnp.asarray(g)
 
     # ------------------------------------------------------------------ jitted core
-    def _tile_step_fn(self, n_folds: int):
+    def _tile_step_fn(self, n_folds: int, s2d_output: bool = False):
         network = self.network
         combos = _flip_combos(self.mirror_axes)
         inv_n = 1.0 / len(combos)
+        if s2d_output:
+            assert len(combos) == 1, \
+                "s2d-output forward does not support mirror-TTA"
 
         def forward_one(params, x):
-            """x: (B, *patch, C) -> fp32 logits (B, *patch, K), TTA-averaged."""
+            """x: (B, *patch, C) -> fp32 logits (B, *patch, K), TTA-averaged.
+            (s2d_output: (B, *patch/2, 8K) half-res offset-major logits.)"""
+            if s2d_output:
+                return network.apply(params, x, deep_supervision=False,
+                                     s2d_output=True).astype(jnp.float32)
             acc = None
             for combo in combos:
                 axes = tuple(a + 1 for a in combo)
@@ -281,7 +298,8 @@ class SlidingWindowEngine:
         ~10% padded slots beats shrinking to a divisor batch (B=6 regressed the
         512^3 bench 39.8 -> 48.1 s; XLA's conv tiling strongly prefers B=8)."""
         n_real = len(coords)
-        B = min(self.tile_batch, max(1, n_real))
+        B = self.tile_batch if self.pad_to_tile_batch \
+            else min(self.tile_batch, max(1, n_real))
         n_tiles = _round_up(n_real, B)
         if n_tiles > n_real:
             coords = np.concatenate(
@@ -412,7 +430,8 @@ class SlidingWindowEngine:
                 compute_dtype=self.compute_dtype, acc_dtype=self.acc_dtype,
                 sweep_acc_dtype=self.sweep_acc_dtype,
                 shape_bucket=self.shape_bucket, tile_batch=self.tile_batch,
-                max_accumulator_bytes=self.max_accumulator_bytes)
+                max_accumulator_bytes=self.max_accumulator_bytes,
+                pad_to_tile_batch=self.pad_to_tile_batch)
         return self._slice_eng
 
     # ------------------------------------------------------------------ chunk grid
@@ -446,6 +465,14 @@ class SlidingWindowEngine:
                                 volume: np.ndarray,
                                 steps: Optional[List[List[int]]] = None
                                 ) -> np.ndarray:
+        """Host-merged chunk grid. At bone_turbo scale the merged logits are
+        huge (512^3 x 61 classes x fp32 ~ 32 GB), so the host accumulator is
+        bounded: above FNN_LOGITS_HOST_BYTES (default 8 GiB) it backs onto a
+        temp-file np.memmap, and FNN_LOGITS_HOST_DTYPE=float16 halves the
+        bytes (logit magnitudes are O(10) — fp16 is safe for the
+        post-accumulation average; accumulation itself stays in acc_dtype on
+        device). Ref predict_from_raw_data.py:470-504 keeps fp32 in RAM and
+        relies on torch's OOM killer instead."""
         spatial = volume.shape[1:]
         if steps is None:
             tight = tuple(max(s, p) for s, p in zip(spatial, self.patch_size))
@@ -453,7 +480,18 @@ class SlidingWindowEngine:
                                                      self.tile_step_size)
         grid = self._make_chunk_grid(steps)
 
-        out = np.zeros((self.num_classes,) + spatial, dtype=np.float32)
+        import os
+        import tempfile
+        host_dtype = np.dtype(os.environ.get("FNN_LOGITS_HOST_DTYPE", "float32"))
+        budget = int(os.environ.get("FNN_LOGITS_HOST_BYTES", 8 * 1024 ** 3))
+        out_bytes = self.num_classes * int(math.prod(spatial)) * host_dtype.itemsize
+        if out_bytes > budget:
+            tmp = tempfile.NamedTemporaryFile(prefix="fnn_logits_", delete=False)
+            out = np.memmap(tmp.name, dtype=host_dtype, mode="w+",
+                            shape=(self.num_classes,) + tuple(spatial))
+            self._logits_memmap_path = tmp.name  # caller may clean up
+        else:
+            out = np.zeros((self.num_classes,) + spatial, dtype=host_dtype)
         wtot = np.zeros(spatial, dtype=np.float32)
 
         for combo in itertools.product(*grid):
@@ -472,12 +510,18 @@ class SlidingWindowEngine:
             valid_sl = tuple(slice(s0, min(s0 + e, spatial[a]))
                              for a, (s0, e) in enumerate(zip(starts, exts)))
             local_valid = tuple(slice(0, v.stop - v.start) for v in valid_sl)
-            out[(slice(None),) + valid_sl] += np.moveaxis(acc_np[local_valid], -1, 0)
+            out[(slice(None),) + valid_sl] += np.moveaxis(
+                acc_np[local_valid], -1, 0).astype(host_dtype)
             wtot[valid_sl] += w_np[local_valid]
 
-        out /= wtot[None]
-        if not np.isfinite(out).all():
-            raise RuntimeError("Non-finite values in accumulated logits")
+        # finalize in x-slabs so a memmap-backed `out` never fully materializes
+        slab = max(1, int(np.ceil(spatial[0] / max(1, len(grid[0])))))
+        for x0 in range(0, spatial[0], slab):
+            sl = slice(x0, min(x0 + slab, spatial[0]))
+            block = out[:, sl] / wtot[None, sl]
+            if not np.isfinite(block).all():
+                raise RuntimeError("Non-finite values in accumulated logits")
+            out[:, sl] = block
         return out
 
     # ------------------------------------------------------------------ turbo sweep
@@ -939,6 +983,222 @@ class SlidingWindowEngine:
         seg = sweep(stacked, jnp.asarray(vol))
         return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
 
+    # ------------------------------------------------------------------ s2d sweep
+    def _even_floor_steps(self, tight: Tuple[int, ...]) -> List[List[int]]:
+        """Evenly-spread sliding-window steps with every start rounded DOWN to
+        even (space-to-depth block alignment). Coverage is preserved (each gap
+        grows by at most 1 < patch overlap); the final start stays tight-p
+        (tight is padded even). A perf-mode grid: tile placement shifts by at
+        most one voxel vs the reference's exact evenly-spread grid."""
+        steps = compute_steps_for_sliding_window(tight, self.patch_size,
+                                                 self.tile_step_size)
+        return [sorted(set(int(x) - (int(x) % 2) for x in s)) for s in steps]
+
+    def _build_sweep_runner_s2d_skip(self, vol_shape, starts_x, n_batches,
+                                     n_folds, in_channels):
+        """Air-skip variant: validity is PER (chunk, batch, tile) — shape
+        (n_chunks, nb, B) — and a batch whose tiles are all invalid skips its
+        forward entirely via lax.cond (XLA executes only the taken branch).
+        Voxels covered ONLY by skipped tiles have weight 0 and argmax to
+        class 0 = background — exactly right for air. Used by
+        TurboPipeline(air_skip=True); typical whole-body CTs are 30-50% air
+        (a capability the reference engine lacks)."""
+        return self._build_sweep_runner_s2d(vol_shape, starts_x, n_batches,
+                                            n_folds, in_channels,
+                                            per_chunk_valid=True)
+
+    def _build_sweep_runner_s2d(self, vol_shape: Tuple[int, ...],
+                                starts_x: Tuple[int, ...], n_batches: int,
+                                n_folds: int, in_channels: int,
+                                per_chunk_valid: bool = False):
+        """Single-jit rolling sweep with accumulation in the SPACE-TO-DEPTH
+        domain. The S2D network's seg head already produces half-res
+        offset-major logits (B, p0/2, py/2, pz/2, 8K); accumulating in that
+        layout makes the fused accumulator (..., 8(K+1)) = 496 channels for
+        bone_turbo — lane-padded 496->512 (1.03x) instead of the full-res
+        62->128 (2.1x). Halves accumulator HBM + RMW traffic on top of the
+        s2d conv win. Finalize is argmax within each offset group then a
+        cheap uint8 depth_to_space per chunk. Requires even tile starts
+        (see _even_floor_steps) and no mirror-TTA (bone_turbo runs
+        mirroring off; ref engine/config/fast_nnunet_bone_turbo.ini)."""
+        key = ("sweep_s2d", vol_shape, starts_x, n_batches, n_folds,
+               in_channels, per_chunk_valid)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        patch = self.patch_size
+        p0 = patch[0]
+        p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
+        K = self.num_classes
+        C8 = 8 * (K + 1)
+        forward = self._tile_step_fn(n_folds, s2d_output=True)
+        acc_dtype = self.sweep_acc_dtype
+        g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
+        g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
+            0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
+        plane = vol_shape[1:]  # (Yp, Zp) both even
+        plane_h = (plane[0] // 2, plane[1] // 2)
+        n_starts = len(starts_x)
+        rolls_h = tuple((starts_x[k + 1] - starts_x[k]) // 2
+                        for k in range(n_starts - 1))
+        distinct_rolls = sorted(set(rolls_h))
+        assert len(distinct_rolls) <= 2, \
+            f"evenly-spread even steps produced >2 roll values: {distinct_rolls}"
+        max_roll_h = max(rolls_h) if rolls_h else 0
+        x_last = starts_x[-1]
+
+        def finalize_rows(acc, n_rows_h):
+            """acc (p0h, Yh, Zh, 8(K+1)) -> full-res uint8 rows (2n, Y, Z).
+            argmax(a / w) == argmax(a) per offset group (same positive w
+            within a group); weight-0 voxels argmax to 0 = background."""
+            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K + 1)[..., :K]
+            cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
+            cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
+            cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
+            return cls8.reshape(2 * n_rows_h, *plane)
+
+        def shift_by(acc, n_h):  # static n_h (s2d rows)
+            return jnp.concatenate(
+                [acc[n_h:], jnp.zeros((n_h, *plane_h, C8), acc_dtype)], 0)
+
+        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
+            B = coords_b.shape[0]
+            patches = []
+            for b in range(B):
+                start = (coords_b[b][0] + x0, coords_b[b][1], coords_b[b][2], 0)
+                patches.append(jax.lax.dynamic_slice(
+                    vol, start, patch + (in_channels,)))
+            x = jnp.stack(patches).astype(self.compute_dtype)
+            logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K) fp32
+            for b in range(B):
+                y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
+                gw = (g_s2d * valid_b[b])[..., None]  # (p0h,pyh,pzh,8,1)
+                contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
+                contrib = contrib.reshape(p0h, pyh, pzh, C8)
+                start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
+                cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
+                a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
+            return a
+
+        @jax.jit
+        def sweep(stacked_params, vol, coords_yz, valid_yz):
+            # valid_yz: (nb, B) shared across chunks, or (n_chunks, nb, B)
+            # per-chunk when per_chunk_valid (air skipping)
+            acc0 = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
+            seg0 = jnp.zeros(vol_shape, jnp.uint8)
+
+            def accumulate(acc, x0, valid_c):
+                def tile_body(a, cv):
+                    coords_b, valid_b = cv
+                    if per_chunk_valid:
+                        # whole-air batches skip the forward at runtime (XLA
+                        # conditional executes only the taken branch)
+                        return jax.lax.cond(
+                            valid_b.sum() > 0,
+                            lambda a: accumulate_batch(a, vol, coords_b,
+                                                       valid_b,
+                                                       stacked_params, x0),
+                            lambda a: a, a), None
+                    return accumulate_batch(a, vol, coords_b, valid_b,
+                                            stacked_params, x0), None
+
+                acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_c))
+                return acc
+
+            def chunk_body(carry, inputs):
+                acc, seg = carry
+                if per_chunk_valid:
+                    x0, roll_h, valid_c = inputs
+                else:
+                    x0, roll_h = inputs
+                    valid_c = valid_yz
+                acc = accumulate(acc, x0, valid_c)
+                rows = finalize_rows(acc, max_roll_h)
+                seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+                if len(distinct_rolls) == 2:
+                    lo, hi = distinct_rolls
+                    acc = jax.lax.cond(roll_h == lo,
+                                       lambda a: shift_by(a, lo),
+                                       lambda a: shift_by(a, hi), acc)
+                elif distinct_rolls:
+                    acc = shift_by(acc, distinct_rolls[0])
+                return (acc, seg), None
+
+            scan_xs = (jnp.asarray(starts_x[:-1], jnp.int32),
+                       jnp.asarray(rolls_h, jnp.int32))
+            valid_last = valid_yz[-1] if per_chunk_valid else valid_yz
+            if per_chunk_valid:
+                scan_xs = scan_xs + (valid_yz[:-1],)
+            acc, seg = acc0, seg0
+            if n_starts > 1:
+                (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
+                                             scan_xs)
+            acc = accumulate(acc, x_last, valid_last)
+            rows = finalize_rows(acc, p0h)
+            return jax.lax.dynamic_update_slice(seg, rows, (x_last, 0, 0))
+
+        self._jit_cache[key] = sweep
+        return sweep
+
+    def s2d_sweep_plan(self, spatial: Sequence[int]
+                       ) -> Tuple[Tuple[int, ...], List[List[int]]]:
+        """Geometry contract of the s2d sweep for a (C, *spatial) volume:
+        returns (vol_shape, steps). vol_shape is the padded channels-last
+        device layout an on-device producer (TurboPipeline's preprocess
+        program) must emit; steps are the even-floored tile starts."""
+        p0 = self.patch_size[0]
+        x_tight = _round_up(max(int(spatial[0]), p0), 2)
+        tight_rest = tuple(_round_up(max(int(s), p), 2)
+                           for s, p in zip(spatial[1:], self.patch_size[1:]))
+        steps = self._even_floor_steps((x_tight, *tight_rest))
+        plane_padded = tuple(_round_up(_round_up(t, self.shape_bucket), 2)
+                             for t in tight_rest)
+        return (x_tight, *plane_padded), steps
+
+    def run_s2d_sweep(self, params_list, vol_dev, spatial: Sequence[int]):
+        """Run the s2d sweep on an ALREADY-DEVICE-RESIDENT padded volume
+        (vol_shape + (C,) from :meth:`s2d_sweep_plan`). Returns the device
+        uint8 segmentation at the padded vol_shape (callers slice/resample)."""
+        assert not self.mirror_axes, "s2d sweep does not support mirror-TTA"
+        assert all(p % 2 == 0 for p in self.patch_size), \
+            "s2d sweep needs even patch dims"
+        if not isinstance(params_list, (list, tuple)):
+            params_list = [params_list]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+        n_folds = len(params_list)
+
+        vol_shape, steps = self.s2d_sweep_plan(spatial)
+        assert tuple(vol_dev.shape[:-1]) == vol_shape, \
+            f"device volume {vol_dev.shape} != planned {vol_shape}"
+        starts_x = tuple(steps[0])
+        coords_yz = tile_coords_from_steps(steps[1:])
+        coords_full = np.concatenate(
+            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
+        coords_b, valid_b = self._batched_coords(coords_full)
+
+        sweep = self._build_sweep_runner_s2d(vol_shape, starts_x,
+                                             len(coords_b), n_folds,
+                                             int(vol_dev.shape[-1]))
+        return sweep(stacked, vol_dev, jnp.asarray(coords_b),
+                     jnp.asarray(valid_b))
+
+    def predict_segmentation_sweep_s2d(self, params_list,
+                                       volume: np.ndarray) -> np.ndarray:
+        """Whole-volume argmax segmentation with the s2d-domain rolling sweep.
+        ``self.network`` must be an :class:`~..models.s2d.S2DPlainConvUNet`
+        (build via ``make_s2d_engine_net`` + ``convert_params``). Tile starts
+        are the evenly-spread grid rounded down to even (perf mode — at most
+        one voxel of placement shift vs the reference grid)."""
+        spatial = volume.shape[1:]
+        vol_shape, _ = self.s2d_sweep_plan(spatial)
+        np_dtype = np.dtype(jnp.dtype(self.compute_dtype).name) \
+            if jnp.dtype(self.compute_dtype) != jnp.bfloat16 else jnp.bfloat16
+        vol = np.zeros(vol_shape + (volume.shape[0],), np.float32)
+        vol[tuple(slice(0, s) for s in spatial)] = np.moveaxis(volume, 0, -1)
+        seg = self.run_s2d_sweep(params_list, jnp.asarray(vol.astype(np_dtype)),
+                                 spatial)
+        return np.asarray(seg)[tuple(slice(0, s) for s in spatial)]
+
     def predict_segmentation_sweep(self, params_list, volume: np.ndarray) -> np.ndarray:
         """Whole-volume argmax segmentation with the single-jit rolling-sweep
         runner.
@@ -1021,6 +1281,9 @@ class SlidingWindowEngine:
             return self._predict_logits_2d_over_slices(
                 params_list, volume).argmax(0)
         if self.dim == 3 and self._acc_bytes(spatial) > self.max_accumulator_bytes:
+            if self.use_s2d_sweep and not self.mirror_axes and \
+                    all(p % 2 == 0 for p in self.patch_size):
+                return self.predict_segmentation_sweep_s2d(params_list, volume)
             if self.use_coset_sweep and self.tile_step_size == 0.5 and \
                     all(p % 2 == 0 for p in self.patch_size):
                 return self.predict_segmentation_coset(params_list, volume)

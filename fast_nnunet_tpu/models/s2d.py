@@ -239,7 +239,13 @@ class S2DPlainConvUNet:
                            self.eps, groups=groups)
         return _lrelu(x, self.slope)
 
-    def apply(self, params, x: Array, deep_supervision: bool = False) -> Array:
+    def apply(self, params, x: Array, deep_supervision: bool = False,
+              s2d_output: bool = False) -> Array:
+        """s2d_output=True returns the seg head's HALF-RES (B, X/2, Y/2, Z/2,
+        8K) tensor (offset-major groups) without the final depth_to_space —
+        the s2d-domain sweep accumulates in this layout directly, so the
+        8K+8 = 496-channel accumulator lane-pads only 496->512 (1.03x)
+        instead of the full-res (K+1)=62 -> 128 (2.1x)."""
         assert not deep_supervision, "s2d transform is inference-only"
         assert all(d % 2 == 0 for d in x.shape[1:4]), \
             f"s2d needs even spatial dims, got {x.shape}"
@@ -297,6 +303,8 @@ class S2DPlainConvUNet:
                     dec[f"seg_head_{d}"].get("bias"), self.num_classes)
                 # stay in compute dtype: the engine casts to its accumulator
                 # dtype anyway, and a fp32 (B,96,96,160,61) temp is ~3 GB HBM
+                if s2d_output:
+                    return seg
                 return depth_to_space(seg)
         raise AssertionError("unreachable")
 

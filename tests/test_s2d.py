@@ -92,3 +92,99 @@ def test_s2d_unsupported_architectures():
     arch2 = _arch()
     arch2["kernel_sizes"][0] = [1, 3, 3]
     assert make_s2d_engine_net(None, arch2, 2) is None
+
+
+def test_s2d_output_mode_is_pre_depth_to_space():
+    """apply(s2d_output=True) must equal the plain output space_to_depth'd."""
+    from fast_nnunet_tpu.models.s2d import space_to_depth
+    arch = _arch()
+    K = 5
+    net = get_network_from_plans("PlainConvUNet", arch, (), 1, K,
+                                 dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.RandomState(5).rand(1, 8, 8, 16, 1) * 2 - 1, jnp.float32)
+    params = net.init(jax.random.PRNGKey(4), x, deep_supervision=False)
+    s2d = make_s2d_engine_net(net, arch, K, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+    full = s2d.apply(sp, x, deep_supervision=False)
+    half = s2d.apply(sp, x, deep_supervision=False, s2d_output=True)
+    assert half.shape == (1, 4, 4, 8, 8 * K)
+    np.testing.assert_array_equal(np.asarray(space_to_depth(full)),
+                                  np.asarray(half))
+
+
+def test_s2d_sweep_matches_plain_engine():
+    """The s2d-domain rolling sweep must reproduce the plain engine's argmax
+    on the SAME (even) tile grid, fp32 accumulation on both sides."""
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    arch = _arch()
+    K = 5
+    PATCH = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", arch, (), 1, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(4), jnp.zeros((1, *PATCH, 1)),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, arch, K, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+
+    vol = (np.random.RandomState(11).rand(1, 18, 20, 30).astype(np.float32)
+           - 0.5) * 2
+
+    eng_s2d = SlidingWindowEngine(s2d, PATCH, K, tile_step_size=0.5,
+                                  shape_bucket=4, compute_dtype=jnp.float32,
+                                  sweep_acc_dtype=jnp.float32, tile_batch=3,
+                                  use_s2d_sweep=True)
+    seg_s2d = eng_s2d.predict_segmentation_sweep_s2d(sp, vol)
+    assert seg_s2d.shape == vol.shape[1:]
+
+    # plain engine forced onto the s2d sweep's even grid
+    eng = SlidingWindowEngine(net, PATCH, K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              tile_batch=3)
+    x_tight = max(vol.shape[1], PATCH[0]) + max(vol.shape[1], PATCH[0]) % 2
+    tight_rest = tuple(max(s, p) + max(s, p) % 2
+                       for s, p in zip(vol.shape[2:], PATCH[1:]))
+    steps = eng_s2d._even_floor_steps((x_tight, *tight_rest))
+    logits = eng.predict_logits(params, vol, steps=steps)
+    seg_ref = logits.argmax(0)
+    agree = (seg_s2d == seg_ref).mean()
+    assert agree > 0.999, f"s2d sweep / plain argmax agreement too low: {agree}"
+
+    # dispatch: a large-volume predict_segmentation picks the s2d sweep
+    eng_s2d.max_accumulator_bytes = 1
+    seg_disp = eng_s2d.predict_segmentation(sp, vol)
+    np.testing.assert_array_equal(seg_disp, seg_s2d)
+
+
+def test_s2d_sweep_fold_ensembled():
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    arch = _arch()
+    K = 4
+    PATCH = (8, 8, 8)
+    net = get_network_from_plans("PlainConvUNet", arch, (), 1, K,
+                                 dtype=jnp.float32)
+    p1 = net.init(jax.random.PRNGKey(1), jnp.zeros((1, *PATCH, 1)),
+                  deep_supervision=False)
+    p2 = net.init(jax.random.PRNGKey(2), jnp.zeros((1, *PATCH, 1)),
+                  deep_supervision=False)
+    s2d = make_s2d_engine_net(net, arch, K, dtype=jnp.float32)
+    sp1, sp2 = s2d.convert_params(p1), s2d.convert_params(p2)
+    vol = (np.random.RandomState(2).rand(1, 12, 14, 10).astype(np.float32)
+           - 0.5) * 2
+    eng = SlidingWindowEngine(s2d, PATCH, K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32, tile_batch=2)
+    seg_ens = eng.predict_segmentation_sweep_s2d([sp1, sp2], vol)
+    assert seg_ens.shape == vol.shape[1:]
+
+    # logit-mean of the folds on the same grid (plain engine)
+    engp = SlidingWindowEngine(net, PATCH, K, tile_step_size=0.5,
+                               shape_bucket=4, compute_dtype=jnp.float32,
+                               tile_batch=2)
+    x_tight = max(vol.shape[1], PATCH[0]) + max(vol.shape[1], PATCH[0]) % 2
+    tight_rest = tuple(max(s, p) + max(s, p) % 2
+                       for s, p in zip(vol.shape[2:], PATCH[1:]))
+    steps = eng._even_floor_steps((x_tight, *tight_rest))
+    logits = engp.predict_logits([p1, p2], vol, steps=steps)
+    agree = (seg_ens == logits.argmax(0)).mean()
+    assert agree > 0.999, f"fold-ensembled s2d sweep agreement: {agree}"
