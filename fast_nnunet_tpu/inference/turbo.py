@@ -1,0 +1,243 @@
+"""TurboPipeline — END-TO-END on-device serving (read -> preprocess ->
+sliding-window -> revert -> write), the TPU answer to the reference engine's
+whole-pipeline latency claims (ref docs/Engine.md:31-33: every headline number
+is read->predict->write, not network-only; the engine internals are
+proprietary — ref engine/fast_nnunet.cpp is a 31-line stub — so this is free
+TPU-first design space).
+
+TPU-first decisions:
+- Normalization AND resampling run ON DEVICE inside one jitted preprocess
+  program (clip -> (x-mean)/std -> bf16 -> trilinear resize -> pad to the
+  sweep's bucketed layout). The host ships the RAW volume once; no scipy
+  multi-second spline resample on the hot path (the nnU-Net-exact cubic
+  path remains the Python predictor's default for parity workloads).
+- The sweep consumes the device-resident volume directly
+  (SlidingWindowEngine.run_s2d_sweep / the plain sweep), so preprocess ->
+  predict never round-trips the host.
+- The segmentation reverts to the original grid on device too (uint8 nearest
+  resize — argmax commutes with nearest interpolation), and only the final
+  original-grid uint8 mask is D2H'd.
+- Resize convention: half-pixel centers (jax.image.resize), matching the
+  skimage/grid_mode=True convention of ops/resampling.py; trilinear without
+  antialiasing, like nnU-Net's own order-1 path.
+- Empty-tile (air) skipping: the preprocess program also emits a coarse
+  per-block maximum map; the host thresholds it to drop all-air tile batches
+  from the sweep (`air_skip=True`). Whole-body CTs are typically 30-50% air;
+  the reference engine has no analogue.
+"""
+import configparser
+import re
+import time
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..imageio.nifti import NiftiIOWithReorient
+
+
+def _parse_tuple(s: str) -> Tuple[float, ...]:
+    return tuple(float(x) for x in re.split(r"[x,()\s]+", str(s).strip()) if x)
+
+
+class TurboConfig:
+    """bone_turbo-style deployment point (schema parity with the reference's
+    engine INI, ref engine/config/fast_nnunet_bone_turbo.ini)."""
+
+    def __init__(self, patch_size: Sequence[int],
+                 target_spacing: Sequence[float],
+                 mean: float, std: float,
+                 lower_bound: float, upper_bound: float,
+                 num_classes: int,
+                 step_size: float = 0.5, use_gaussian: bool = True):
+        # INI order is (depth, height, width) = image axis order; the engine's
+        # chunk axis (axis 0) must carry the SMALLEST patch extent so rolling
+        # chunks fit HBM -> transpose so the 160-extent axis is last
+        self.patch_size_image = tuple(int(p) for p in patch_size)
+        # ascending-stable sort puts the largest patch axis LAST: for
+        # bone_turbo (160,96,96) that is transpose (1,2,0) -> engine patch
+        # (96,96,160) with the smallest extent on the rolling chunk axis
+        self.transpose_forward = sorted(
+            range(len(patch_size)), key=lambda a: self.patch_size_image[a])
+        self.transpose_backward = list(np.argsort(self.transpose_forward))
+        self.patch_size = tuple(self.patch_size_image[a]
+                                for a in self.transpose_forward)
+        self.target_spacing_image = tuple(float(s) for s in target_spacing)
+        self.target_spacing = tuple(self.target_spacing_image[a]
+                                    for a in self.transpose_forward)
+        self.mean = float(mean)
+        self.std = float(std)
+        self.lower_bound = float(lower_bound)
+        self.upper_bound = float(upper_bound)
+        self.num_classes = int(num_classes)
+        self.step_size = float(step_size)
+        self.use_gaussian = bool(use_gaussian)
+
+    @classmethod
+    def from_ini(cls, path: str) -> "TurboConfig":
+        cp = configparser.ConfigParser(inline_comment_prefixes=("#", ";"))
+        cp.read(path)
+        pre = cp["preprocessing"]
+        return cls(
+            patch_size=[int(x) for x in _parse_tuple(cp["input"]["patch_size"])],
+            target_spacing=_parse_tuple(cp["input"]["target_spacing"]),
+            mean=float(pre["mean"]),
+            std=float(pre.get("std", pre.get("std_dev", "1.0"))),
+            lower_bound=float(pre["lower_bound"]),
+            upper_bound=float(pre["upper_bound"]),
+            num_classes=int(cp["model"]["num_class"]),
+            step_size=float(cp["inference"].get("step_size", 0.5)),
+            use_gaussian=cp["inference"].getboolean("use_gaussian", True))
+
+
+class TurboPipeline:
+    def __init__(self, engine, config: TurboConfig, air_skip: bool = False,
+                 air_margin_hu: float = 200.0):
+        """engine: a SlidingWindowEngine whose patch/classes match `config`
+        (use_s2d_sweep engines run the s2d path; otherwise the plain sweep).
+        air_skip: drop tile batches whose voxels are all below
+        lower_bound + air_margin_hu (pre-normalization HU)."""
+        self.engine = engine
+        self.config = config
+        self.air_skip = bool(air_skip)
+        # threshold in NORMALIZED units (the device program sees normalized
+        # data): clip floor maps to (lower-mean)/std
+        self.air_threshold = (min(config.lower_bound + air_margin_hu,
+                                  config.upper_bound)
+                              - config.mean) / config.std
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------- device programs
+    def _preprocess_program(self, in_shape, new_shape, vol_shape, compute_dtype):
+        key = ("pre", in_shape, new_shape, vol_shape)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        import jax
+        import jax.numpy as jnp
+        cfg = self.config
+        pad = [(0, v - n) for v, n in zip(vol_shape, new_shape)]
+
+        @jax.jit
+        def pre(raw):
+            x = raw.astype(jnp.float32)
+            x = jnp.clip(x, cfg.lower_bound, cfg.upper_bound)
+            x = (x - cfg.mean) / cfg.std
+            x = jax.image.resize(x, new_shape, method="trilinear",
+                                 antialias=False).astype(compute_dtype)
+            # coarse 8^3 block maxima for host-side air-tile skipping (tiny
+            # D2H; the full resampled volume never leaves the device)
+            bs = [max(1, n // 8 * 8) for n in new_shape]
+            blocks = x[:bs[0], :bs[1], :bs[2]].reshape(
+                bs[0] // 8, 8, bs[1] // 8, 8, bs[2] // 8, 8).max((1, 3, 5))
+            xp = jnp.pad(x, pad, constant_values=(cfg.lower_bound - cfg.mean)
+                         / cfg.std)
+            return xp[..., None], blocks
+
+        self._jit_cache[key] = pre
+        return pre
+
+    def _revert_program(self, seg_shape, new_shape, out_shape):
+        key = ("rev", seg_shape, new_shape, out_shape)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def rev(seg):
+            s = jax.lax.slice(seg, (0, 0, 0), new_shape)
+            return jax.image.resize(s, out_shape, method="nearest")
+
+        self._jit_cache[key] = rev
+        return rev
+
+    # ------------------------------------------------------------------ prediction
+    def predict_volume(self, params_list, volume: np.ndarray,
+                       spacing: Sequence[float]) -> np.ndarray:
+        """(D, H, W) raw HU volume in image axis order + its spacing ->
+        uint8 segmentation on the ORIGINAL grid. All heavy work on device."""
+        import jax
+        import jax.numpy as jnp
+        cfg = self.config
+        eng = self.engine
+
+        vol_t = np.transpose(volume, cfg.transpose_forward)
+        spacing_t = [float(spacing[a]) for a in cfg.transpose_forward]
+        new_shape = tuple(int(round(s * sp / tsp)) for s, sp, tsp in zip(
+            vol_t.shape, spacing_t, cfg.target_spacing))
+        new_shape = tuple(max(n, p) for n, p in zip(new_shape, eng.patch_size))
+
+        vol_shape, steps = eng.s2d_sweep_plan(new_shape)
+        pre = self._preprocess_program(vol_t.shape, new_shape, vol_shape,
+                                       eng.compute_dtype)
+        vol_dev, block_max = pre(jnp.asarray(np.ascontiguousarray(vol_t)))
+
+        if self.air_skip:
+            seg_dev = self._run_sweep_air_skip(params_list, vol_dev, new_shape,
+                                               np.asarray(block_max))
+        else:
+            seg_dev = eng.run_s2d_sweep(params_list, vol_dev, new_shape)
+
+        rev = self._revert_program(tuple(seg_dev.shape), new_shape, vol_t.shape)
+        seg = np.asarray(rev(seg_dev))
+        return np.transpose(seg, cfg.transpose_backward)
+
+    def _run_sweep_air_skip(self, params_list, vol_dev, spatial, block_max):
+        """Sweep with per-chunk batch validity from the coarse block-max map:
+        a tile is AIR when every 8^3 block it covers is below the threshold;
+        air tiles contribute nothing (their accumulator rows argmax to
+        background) and whole-air batches skip the forward via lax.cond."""
+        import jax.numpy as jnp
+        eng = self.engine
+        vol_shape, steps = eng.s2d_sweep_plan(spatial)
+        starts_x = tuple(steps[0])
+        from ..ops.sliding_window import tile_coords_from_steps
+        coords_yz = tile_coords_from_steps(steps[1:])
+        coords_full = np.concatenate(
+            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
+        coords_b, valid_b = eng._batched_coords(coords_full)
+
+        # per-(chunk, tile) air flags on the 8^3 block grid
+        thr = self.air_threshold
+        nb, B = valid_b.shape
+        valid_chunks = np.zeros((len(starts_x), nb, B), np.float32)
+        gb = block_max.shape
+        for ci, x0 in enumerate(starts_x):
+            for bi in range(nb):
+                for bj in range(B):
+                    if valid_b[bi, bj] == 0:
+                        continue
+                    c = coords_b[bi, bj]
+                    sl = tuple(slice(min(s // 8, g - 1),
+                                     min((s + p + 7) // 8, g))
+                               for s, p, g in zip((x0 + c[0], c[1], c[2]),
+                                                  eng.patch_size, gb))
+                    if block_max[sl].size and block_max[sl].max() > thr:
+                        valid_chunks[ci, bi, bj] = 1.0
+        if not isinstance(params_list, (list, tuple)):
+            params_list = [params_list]
+        import jax
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *params_list)
+        sweep = eng._build_sweep_runner_s2d_skip(
+            vol_shape, starts_x, nb, len(params_list),
+            int(vol_dev.shape[-1]))
+        return sweep(stacked, vol_dev, jnp.asarray(coords_b),
+                     jnp.asarray(valid_chunks))
+
+    def predict_file(self, params_list, input_file: str,
+                     output_file: str) -> dict:
+        """read -> predict -> write; returns a timing breakdown (the e2e
+        contract the reference benchmarks, ref docs/Engine.md:31-33)."""
+        t0 = time.perf_counter()
+        rw = NiftiIOWithReorient()
+        data, props = rw.read_images([input_file])
+        t_read = time.perf_counter()
+        seg = self.predict_volume(params_list, data[0], props["spacing"])
+        t_pred = time.perf_counter()
+        rw.write_seg(seg, output_file, props)
+        t_write = time.perf_counter()
+        return {"seconds_total": round(t_write - t0, 3),
+                "seconds_read": round(t_read - t0, 3),
+                "seconds_predict": round(t_pred - t_read, 3),
+                "seconds_write": round(t_write - t_pred, 3),
+                "labels_present": sorted(int(x) for x in np.unique(seg))}
