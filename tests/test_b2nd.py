@@ -1,0 +1,108 @@
+"""blosc2 .b2nd read + migration CLI (round-2 VERDICT missing #5).
+
+The image has no blosc2 package, so these tests exercise the pure-Python
+fallback against fixtures from our own spec-following writer (round-trip).
+Where blosc2 IS installed (any real nnU-Net v2 environment), read_b2nd uses
+it directly and the fallback is never hit.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from fast_nnunet_tpu.utils.b2nd import (compress_chunk, decompress_chunk,
+                                        read_b2nd, write_b2nd)
+
+
+@pytest.mark.parametrize("dtype,shuffle", [(np.float32, True),
+                                           (np.float32, False),
+                                           (np.int8, True),
+                                           (np.uint16, True)])
+def test_chunk_roundtrip(dtype, shuffle):
+    rng = np.random.RandomState(0)
+    data = (rng.rand(1000) * 100).astype(dtype).tobytes()
+    chunk = compress_chunk(data, np.dtype(dtype).itemsize, 256,
+                           shuffle=shuffle)
+    assert decompress_chunk(chunk) == data
+
+
+def test_chunk_roundtrip_incompressible():
+    data = os.urandom(4096)  # forces the stored-raw (negative csize) branch
+    chunk = compress_chunk(data, 4, 1024)
+    assert decompress_chunk(chunk) == data
+
+
+@pytest.mark.parametrize("shape,chunks", [
+    ((3, 20, 24, 16), (1, 8, 8, 8)),
+    ((1, 13, 9, 7), (1, 8, 8, 8)),     # ragged edge chunks
+    ((5, 6), None),
+])
+def test_b2nd_roundtrip(tmp_path, shape, chunks):
+    rng = np.random.RandomState(1)
+    a = (rng.rand(*shape) * 50).astype(np.float32)
+    f = str(tmp_path / "a.b2nd")
+    write_b2nd(f, a, chunks=chunks)
+    b = read_b2nd(f)
+    np.testing.assert_array_equal(a, b)
+    assert b.dtype == a.dtype
+
+
+def test_b2nd_int_seg_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    seg = rng.randint(-1, 4, (1, 18, 20, 16)).astype(np.int8)
+    f = str(tmp_path / "seg.b2nd")
+    write_b2nd(f, seg, chunks=(1, 8, 8, 8))
+    np.testing.assert_array_equal(read_b2nd(f), seg)
+
+
+def test_convert_folder_and_train_load(tmp_path):
+    """A synthetic reference-layout folder converts into a loadable case
+    store (both .npy and .fnnz), properties ride along."""
+    from fast_nnunet_tpu.run.convert_b2nd import convert_folder
+    from fast_nnunet_tpu.training.dataset import (NpyCaseDataset,
+                                                  infer_dataset_class)
+    from fast_nnunet_tpu.utils.io import save_pickle
+
+    src = tmp_path / "ref_pre"
+    src.mkdir()
+    rng = np.random.RandomState(3)
+    for ident in ("case_000", "case_001"):
+        data = rng.rand(2, 14, 16, 12).astype(np.float32)
+        seg = rng.randint(0, 3, (1, 14, 16, 12)).astype(np.int8)
+        write_b2nd(str(src / f"{ident}.b2nd"), data, chunks=(2, 8, 8, 8))
+        write_b2nd(str(src / f"{ident}_seg.b2nd"), seg, chunks=(1, 8, 8, 8))
+        save_pickle({"spacing": [1.0, 1.0, 2.0],
+                     "class_locations": {1: np.zeros((0, 4), np.int64)}},
+                    str(src / f"{ident}.pkl"))
+    (src / "splits_final.json").write_text("[]")
+
+    dst = tmp_path / "our_pre"
+    n = convert_folder(str(src), str(dst))
+    assert n == 2
+    ds = NpyCaseDataset(str(dst))
+    assert sorted(ds.keys()) == ["case_000", "case_001"]
+    data, seg, props = ds.load_case("case_000", mmap=False)
+    assert data.shape == (2, 14, 16, 12) and data.dtype == np.float32
+    assert seg.shape == (1, 14, 16, 12)
+    assert props["spacing"] == [1.0, 1.0, 2.0]
+    assert (dst / "splits_final.json").exists()
+
+    dst2 = tmp_path / "our_pre_fnnz"
+    convert_folder(str(src), str(dst2), use_fnnz=True)
+    ds2 = infer_dataset_class(str(dst2))(str(dst2))
+    d2, s2, _ = ds2.load_case("case_000", mmap=False)
+    np.testing.assert_array_equal(np.asarray(d2), data)
+
+
+def test_cli_entry(tmp_path, monkeypatch):
+    from fast_nnunet_tpu.run.convert_b2nd import convert_b2nd_entry
+    src = tmp_path / "s"
+    src.mkdir()
+    write_b2nd(str(src / "c.b2nd"), np.ones((1, 4, 4, 4), np.float32))
+    out = tmp_path / "d"
+    monkeypatch.setattr(sys, "argv",
+                        ["fast_nnunet_convert_b2nd", "-i", str(src),
+                         "-o", str(out)])
+    convert_b2nd_entry()
+    assert (out / "c.npy").exists()
