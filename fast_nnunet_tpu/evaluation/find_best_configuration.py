@@ -228,17 +228,61 @@ def find_best_configuration(dataset_name_or_id,
     print("\n*** Inference instructions ***")
     models = best_entry.get("model")
     models = [models] if models else list(best_entry["models"])
+    commands = []
     for m in models:
         # cascade members expand to their full prev-stage chain
-        print(generate_inference_command(
+        commands.append(generate_inference_command(
             dataset_name, m["configuration"], m["plans"], m["trainer"], folds,
             save_probabilities=len(models) > 1))
+        print(commands[-1])
     if len(models) > 1:
+        commands.append("nnUNetv2_ensemble -i OUT1 OUT2 -o FINAL")
         print("  # then: nnUNetv2_ensemble -i OUT1 OUT2 -o FINAL")
     if pp_fns:
         print("  # then apply postprocessing.json with "
               "fast_nnunet_tpu.postprocessing.apply_postprocessing_to_folder")
+    write_markdown_report(result, commands,
+                          join(grf(), dataset_name, "inference_report.md"))
     return result
+
+
+def write_markdown_report(result: dict, commands, path: str) -> None:
+    """Human-readable companion of inference_information.json (the reference
+    only prints to stdout; the JSON + this report persist the decision)."""
+    best = result["best_model_or_ensemble"]
+    lines = [
+        f"# Best configuration — {result['dataset_name_or_id']}",
+        "",
+        f"Folds considered: {', '.join(str(f) for f in result['folds'])}",
+        "",
+        "## Candidates (mean foreground Dice, 5-fold cross-validation)",
+        "",
+        "| configuration | mean fg Dice | |",
+        "|---|---|---|",
+    ]
+    for k, v in sorted(result["considered_manually"].items(),
+                       key=lambda kv: -kv[1]):
+        marker = "**best**" if k == best["identifier"] else ""
+        lines.append(f"| {k} | {v:.4f} | {marker} |")
+    lines += [
+        "",
+        "## Selected",
+        "",
+        f"- identifier: `{best['identifier']}` ({best['source']})",
+        f"- mean fg Dice: {best['mean_fg_dice']:.4f}",
+        f"- postprocessing: {best['postprocessing_fns'] or 'none'}",
+        f"- mean fg Dice after postprocessing: "
+        f"{best['mean_fg_dice_after_pp']:.4f}",
+        "",
+        "## How to run inference",
+        "",
+        "```bash",
+        *commands,
+        "```",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
 
 
 def find_best_configuration_entry():

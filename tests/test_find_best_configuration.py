@@ -87,3 +87,27 @@ def test_plain_inference_command_single_line(env):
     cmd = generate_inference_command(ds, "3d_fullres", folds=(0, 1))
     assert "\n" not in cmd
     assert "-f 0 1" in cmd and "-prev_stage" not in cmd
+
+
+def test_markdown_report(tmp_path):
+    from fast_nnunet_tpu.evaluation.find_best_configuration import \
+        write_markdown_report
+    result = {
+        "dataset_name_or_id": "Dataset001_Test",
+        "folds": [0, 1, 2, 3, 4],
+        "considered_manually": {"3d_fullres": 0.81, "2d": 0.74,
+                                "ensemble_x": 0.83},
+        "best_model_or_ensemble": {
+            "identifier": "ensemble_x", "source": "ensemble",
+            "mean_fg_dice": 0.83, "postprocessing_fns": [],
+            "mean_fg_dice_after_pp": 0.835,
+        },
+    }
+    path = str(tmp_path / "report.md")
+    write_markdown_report(result, ["nnUNetv2_predict -i IN -o OUT"], path)
+    text = open(path).read()
+    assert "ensemble_x" in text and "**best**" in text
+    assert "0.8350" in text
+    assert "nnUNetv2_predict -i IN -o OUT" in text
+    # best row sorts first
+    assert text.index("ensemble_x") < text.index("3d_fullres")
