@@ -183,3 +183,80 @@ def test_pjrt_backend_missing_plugin_errors_cleanly(built_engine, tmp_path):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 1
     assert "dlopen" in r.stderr
+
+
+def test_pjrt_backend_golden_checkpoint(built_engine, shim, tmp_path):
+    """The C++ PJRT engine must reproduce the Python engine's mask on the
+    committed TRAINED golden checkpoint (tests/fixtures/golden_ckpt) — the
+    cross-round guard for the native path. Compared against the Python
+    engine on the same INI-style pipeline (clip+zscore, no crop): the
+    golden expected_mask.nii.gz itself goes through crop_to_nonzero and is
+    pinned by tests/test_golden_checkpoint.py instead."""
+    import jax
+    import jax.export as jexport
+    import jax.numpy as jnp
+    from fast_nnunet_tpu.imageio.nifti import read_nifti
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.inference.predictor import NNUNetPredictor
+    from fast_nnunet_tpu.utils.io import load_json
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "golden_ckpt")
+    model = os.path.join(fix, "model")
+    if not os.path.isdir(model):
+        pytest.skip("golden checkpoint fixture missing")
+
+    pred = NNUNetPredictor(use_mirroring=False)
+    pred.initialize_from_trained_model_folder(model, use_folds=[0])
+    pred.engine.compute_dtype = jnp.float32
+    net = pred.network
+    params = pred.list_of_parameters[0]
+    patch = tuple(pred.configuration_manager.patch_size)
+
+    def forward(x):
+        return net.apply(params, x, deep_supervision=False)
+
+    exported = jexport.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct((1, *patch, 1), jnp.float32))
+    artifact = str(tmp_path / "model_pjrt.mlir")
+    with open(artifact, "wb") as f:
+        f.write(exported.mlir_module_serialized)
+
+    plans = load_json(os.path.join(model, "plans.json"))
+    ip = plans["foreground_intensity_properties_per_channel"]["0"]
+    # plans spacing is in READ (k,j,i) order; the C++ engine works in disk
+    # (i,j,k) order — reverse so the identity-resample case stays identity
+    spacing_cfg = list(pred.configuration_manager.spacing)[::-1]
+
+    ini = str(tmp_path / "model.ini")
+    with open(ini, "w") as f:
+        f.write(f"[model]\nnum_class={pred.label_manager.num_segmentation_heads}\n"
+                f"[input]\npatch_size={'x'.join(str(p) for p in patch)}\n"
+                f"target_spacing=({','.join(str(s) for s in spacing_cfg)})\n"
+                f"[preprocessing]\nmean={ip['mean']}\nstd={ip['std']}\n"
+                f"lower_bound={ip['percentile_00_5']}\n"
+                f"upper_bound={ip['percentile_99_5']}\n"
+                f"[inference]\nstep_size=0.5\nuse_gaussian=true\n")
+
+    ct = os.path.join(fix, "input_0000.nii.gz")
+    out = str(tmp_path / "mask.nii.gz")
+    r = subprocess.run(
+        [os.path.join(built_engine, "fast_nnunet_engine"), "--config", ini,
+         "--input", ct, "--output", out, "--pjrt", shim, "--artifact",
+         artifact, "--fp32-input"],
+        capture_output=True, text=True, timeout=600, env=_shim_env())
+    assert r.returncode == 0, r.stdout + r.stderr
+    mask = read_nifti(out)[0]
+
+    # python reference on the identical INI pipeline, in DISK axis order
+    # (the golden patch is cubic, so the grid is order-symmetric)
+    raw = read_nifti(ct)[0].astype(np.float32)
+    pre = (np.clip(raw, ip["percentile_00_5"], ip["percentile_99_5"])
+           - ip["mean"]) / ip["std"]
+    eng = SlidingWindowEngine(net, patch, 3, tile_step_size=0.5,
+                              use_gaussian=True, compute_dtype=jnp.float32,
+                              acc_dtype=jnp.float32, shape_bucket=1,
+                              tile_batch=1)
+    want = np.asarray(eng.predict_segmentation(params, pre[None]))
+    agree = float((mask == want).mean())
+    assert agree > 0.999, f"C++/python golden agreement: {agree:.4f}"
+    assert len(np.unique(mask)) >= 3, "trained golden net must segment"
