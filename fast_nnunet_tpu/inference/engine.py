@@ -172,8 +172,13 @@ class SlidingWindowEngine:
             """x: (B, *patch, C) -> fp32 logits (B, *patch, K), TTA-averaged.
             (s2d_output: (B, *patch/2, 8K) half-res offset-major logits.)"""
             if s2d_output:
-                return network.apply(params, x, deep_supervision=False,
-                                     s2d_output=True).astype(jnp.float32)
+                out = network.apply(params, x, deep_supervision=False,
+                                    s2d_output=True)
+                # single fold: stay in compute dtype — the fp32 materialization
+                # of the (B, p0/2, py/2, pz/2, 8K) logits costs ~2.4 GB of HBM
+                # traffic per batch step for nothing (profiled round 3); the
+                # fold-ensemble sum still runs fp32 for averaging precision
+                return out if n_folds == 1 else out.astype(jnp.float32)
             acc = None
             for combo in combos:
                 axes = tuple(a + 1 for a in combo)

@@ -92,8 +92,9 @@ class TurboConfig:
 class TurboPipeline:
     def __init__(self, engine, config: TurboConfig, air_skip: bool = False,
                  air_margin_hu: float = 200.0):
-        """engine: a SlidingWindowEngine whose patch/classes match `config`
-        (use_s2d_sweep engines run the s2d path; otherwise the plain sweep).
+        """engine: a SlidingWindowEngine wrapping an S2DPlainConvUNet (built
+        via make_s2d_engine_net + convert_params) whose patch/classes match
+        `config` — the turbo path always runs the s2d-domain sweep.
         air_skip: drop tile batches whose voxels are all below
         lower_bound + air_margin_hu (pre-normalization HU)."""
         self.engine = engine
