@@ -25,6 +25,7 @@ TPU-first decisions:
   from the sweep (`air_skip=True`). Whole-body CTs are typically 30-50% air;
   the reference engine has no analogue.
 """
+import argparse
 import configparser
 import re
 import time
@@ -225,6 +226,84 @@ class TurboPipeline:
         return sweep(stacked, vol_dev, jnp.asarray(coords_b),
                      jnp.asarray(valid_chunks))
 
+    @classmethod
+    def from_model_folder(cls, model_folder: str, fold=0,
+                          checkpoint_name: str = "checkpoint_final.fnnx",
+                          air_skip: bool = True, tile_batch: int = 8,
+                          compute_dtype=None):
+        """Build (pipeline, params) from a trained model folder: loads the
+        checkpoint, re-parameterizes the network with the space-to-depth
+        transform (models/s2d.py; requires the standard PlainConvUNet outer
+        octave), and derives the TurboConfig from plans.json (patch, target
+        spacing, CT clip/zscore properties)."""
+        import jax
+        import jax.numpy as jnp
+        from ..core.labels import determine_num_input_channels
+        from ..core.plans import PlansManager
+        from ..models.factory import get_network_from_plans
+        from ..models.s2d import make_s2d_engine_net
+        from ..models.students import build_student_arch_kwargs
+        from ..training.checkpoint import load_checkpoint, restore_params
+        from ..utils.io import join, load_json
+        from .engine import SlidingWindowEngine
+
+        compute_dtype = compute_dtype or jnp.bfloat16
+        dataset_json = load_json(join(model_folder, "dataset.json"))
+        pm = PlansManager(join(model_folder, "plans.json"))
+        ckpt = load_checkpoint(join(model_folder, f"fold_{fold}",
+                                    checkpoint_name))
+        init_args = ckpt.get("init_args", {})
+        cfg = pm.get_configuration(init_args.get("configuration", "3d_fullres"))
+        lm = pm.get_label_manager(dataset_json)
+        num_in = determine_num_input_channels(pm, cfg, dataset_json)
+        num_out = lm.num_segmentation_heads
+        arch = cfg.configuration["architecture"]
+        kwargs = arch["arch_kwargs"]
+        if "Distillation" in ckpt.get("trainer_name", ""):
+            kwargs = build_student_arch_kwargs(
+                kwargs, init_args.get("feature_reduction_factor", 2),
+                init_args.get("block_reduction_strategy", "reduce"))
+        net = get_network_from_plans(arch["network_class_name"], kwargs, (),
+                                     num_in, num_out, dtype=compute_dtype)
+        patch = tuple(cfg.patch_size)
+        template = jax.device_get(net.init(
+            jax.random.PRNGKey(0), np.zeros((1, *patch, num_in), np.float32),
+            deep_supervision=False))
+        params = restore_params(template, ckpt["network_weights"])
+
+        s2d = make_s2d_engine_net(net, kwargs, num_out, dtype=compute_dtype)
+        if s2d is None:
+            raise ValueError(
+                "turbo pipeline needs the standard PlainConvUNet outer "
+                "octave (3^3 stride-1 then 3^3 stride-2); use the regular "
+                "predictor for this architecture")
+        params = s2d.convert_params(params)
+
+        schemes = cfg.normalization_schemes
+        if not any("CT" in s for s in schemes):
+            print(f"[turbo] warning: normalization {schemes} approximated by "
+                  f"clip+zscore on the device path")
+        ip = pm.foreground_intensity_properties_per_channel["0"]
+        config = TurboConfig(
+            patch_size=patch, target_spacing=cfg.spacing,
+            mean=ip["mean"], std=ip["std"],
+            lower_bound=ip["percentile_00_5"],
+            upper_bound=ip["percentile_99_5"], num_classes=num_out)
+        # plans patch/spacing are already in the engine's (transposed) data
+        # order — don't re-transpose
+        config.transpose_forward = list(range(len(patch)))
+        config.transpose_backward = list(range(len(patch)))
+        config.patch_size = tuple(patch)
+        config.target_spacing = tuple(float(s) for s in cfg.spacing)
+
+        engine = SlidingWindowEngine(
+            s2d, config.patch_size, num_out, tile_step_size=0.5,
+            use_gaussian=True, mirror_axes=(), compute_dtype=compute_dtype,
+            acc_dtype=jnp.float32,
+            sweep_acc_dtype=compute_dtype, shape_bucket=32,
+            tile_batch=tile_batch, use_s2d_sweep=True)
+        return cls(engine, config, air_skip=air_skip), params
+
     def predict_file(self, params_list, input_file: str,
                      output_file: str) -> dict:
         """read -> predict -> write; returns a timing breakdown (the e2e
@@ -232,6 +311,9 @@ class TurboPipeline:
         t0 = time.perf_counter()
         rw = NiftiIOWithReorient()
         data, props = rw.read_images([input_file])
+        assert data.shape[0] == 1, \
+            "the turbo pipeline serves single-channel CT (the bone_turbo " \
+            "deployment contract); use NNUNetPredictor for multi-modality"
         t_read = time.perf_counter()
         seg = self.predict_volume(params_list, data[0], props["spacing"])
         t_pred = time.perf_counter()
@@ -242,3 +324,44 @@ class TurboPipeline:
                 "seconds_predict": round(t_pred - t_read, 3),
                 "seconds_write": round(t_write - t_pred, 3),
                 "labels_present": sorted(int(x) for x in np.unique(seg))}
+
+
+def turbo_predict_entry():
+    """`fast_nnunet_turbo` — end-to-end on-device CT serving from a trained
+    model folder (TPU answer to the reference engine binary's
+    config->load->infer->save loop, ref engine/fast_nnunet.cpp:14-30)."""
+    ap = argparse.ArgumentParser(
+        description="TurboPipeline: read -> on-device preprocess+sweep -> "
+                    "write, fastest serving path")
+    ap.add_argument("-i", required=True, help="input NIfTI (or a folder)")
+    ap.add_argument("-o", required=True, help="output NIfTI (or a folder)")
+    ap.add_argument("-m", required=True, help="trained model folder "
+                    "(contains plans.json + fold_X/)")
+    ap.add_argument("-f", default=0, help="fold")
+    ap.add_argument("-chk", default="checkpoint_final.fnnx")
+    ap.add_argument("--no_air_skip", action="store_true",
+                    help="disable empty-tile (air) skipping")
+    ap.add_argument("--tile_batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from ..utils.misc import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+    pipe, params = TurboPipeline.from_model_folder(
+        args.m, args.f, args.chk, air_skip=not args.no_air_skip,
+        tile_batch=args.tile_batch)
+
+    import os
+    if os.path.isdir(args.i):
+        os.makedirs(args.o, exist_ok=True)
+        from ..utils.io import subfiles
+        for name in subfiles(args.i, suffix=".nii.gz", join_path=False):
+            stats = pipe.predict_file(params, os.path.join(args.i, name),
+                                      os.path.join(args.o, name))
+            print(name, stats)
+    else:
+        stats = pipe.predict_file(params, args.i, args.o)
+        print(stats)
+
+
+if __name__ == "__main__":
+    turbo_predict_entry()

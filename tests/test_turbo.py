@@ -145,3 +145,31 @@ def test_turbo_predict_file(turbo_setup, tmp_path):
     assert stats["seconds_total"] > 0
     seg, _ = read_nifti(f_out)
     assert seg.shape == vol.shape
+
+
+def test_turbo_from_model_folder(tmp_path):
+    """fast_nnunet_turbo's loader: golden trained folder -> s2d pipeline ->
+    segment the golden input; mask must agree with the committed expected
+    mask on the body region (the turbo path resamples trilinear + skips the
+    crop step, so bit-equality is not the contract — label recovery is)."""
+    import os
+    import jax.numpy as jnp
+    from fast_nnunet_tpu.imageio.nifti import NiftiIO
+    from fast_nnunet_tpu.inference.turbo import TurboPipeline
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "golden_ckpt")
+    if not os.path.isdir(os.path.join(fix, "model")):
+        pytest.skip("golden checkpoint fixture missing")
+    pipe, params = TurboPipeline.from_model_folder(
+        os.path.join(fix, "model"), 0, compute_dtype=jnp.float32,
+        air_skip=False)
+    out = str(tmp_path / "seg.nii.gz")
+    stats = pipe.predict_file(params, os.path.join(fix, "input_0000.nii.gz"),
+                              out)
+    assert stats["seconds_total"] > 0
+    seg = NiftiIO().read_seg(out)[0][0]
+    expected = NiftiIO().read_seg(
+        os.path.join(fix, "expected_mask.nii.gz"))[0][0]
+    assert seg.shape == expected.shape
+    agree = (seg == expected).mean()
+    assert agree > 0.95, f"turbo vs golden mask agreement: {agree}"
