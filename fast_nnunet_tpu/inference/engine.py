@@ -1019,8 +1019,8 @@ class SlidingWindowEngine:
         """Single-jit rolling sweep with accumulation in the SPACE-TO-DEPTH
         domain. The S2D network's seg head already produces half-res
         offset-major logits (B, p0/2, py/2, pz/2, 8K); accumulating in that
-        layout makes the fused accumulator (..., 8(K+1)) = 496 channels for
-        bone_turbo — lane-padded 496->512 (1.03x) instead of the full-res
+        layout makes the fused accumulator (..., [8K logits | 8 weights]) =
+        496 channels for bone_turbo — lane-padded 496->512 (1.03x) instead of the full-res
         62->128 (2.1x). Halves accumulator HBM + RMW traffic on top of the
         s2d conv win. Finalize is argmax within each offset group then a
         cheap uint8 depth_to_space per chunk. Requires even tile starts
@@ -1035,12 +1035,19 @@ class SlidingWindowEngine:
         p0 = patch[0]
         p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
         K = self.num_classes
-        C8 = 8 * (K + 1)
+        # BLOCK channel layout [8K logits | 8 weights] (not (o, K+1)
+        # interleaved): the seg head's offset-major 8K output is used AS IS —
+        # no (..., 8, K+1) split/merge relayouts per tile (profiled round 3:
+        # copies + reshapes were 30% of s2d device time)
+        C8 = 8 * K + 8
         forward = self._tile_step_fn(n_folds, s2d_output=True)
         acc_dtype = self.sweep_acc_dtype
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
         g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
             0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
+        # per-(offset, class) gaussian in the block layout: offset-major
+        # groups of K, matching the seg head's channel order
+        g_8k = jnp.repeat(g_s2d, K, axis=-1)  # (p0h, pyh, pzh, 8K)
         plane = vol_shape[1:]  # (Yp, Zp) both even
         plane_h = (plane[0] // 2, plane[1] // 2)
         n_starts = len(starts_x)
@@ -1053,10 +1060,10 @@ class SlidingWindowEngine:
         x_last = starts_x[-1]
 
         def finalize_rows(acc, n_rows_h):
-            """acc (p0h, Yh, Zh, 8(K+1)) -> full-res uint8 rows (2n, Y, Z).
+            """acc (p0h, Yh, Zh, 8K+8) -> full-res uint8 rows (2n, Y, Z).
             argmax(a / w) == argmax(a) per offset group (same positive w
             within a group); weight-0 voxels argmax to 0 = background."""
-            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K + 1)[..., :K]
+            r = acc[:n_rows_h, ..., :8 * K].reshape(n_rows_h, *plane_h, 8, K)
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
             cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
             cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
@@ -1074,12 +1081,11 @@ class SlidingWindowEngine:
                 patches.append(jax.lax.dynamic_slice(
                     vol, start, patch + (in_channels,)))
             x = jnp.stack(patches).astype(self.compute_dtype)
-            logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K) fp32
+            logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K)
             for b in range(B):
-                y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
-                gw = (g_s2d * valid_b[b])[..., None]  # (p0h,pyh,pzh,8,1)
-                contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
-                contrib = contrib.reshape(p0h, pyh, pzh, C8)
+                v = valid_b[b]
+                contrib = jnp.concatenate(
+                    [logits8[b] * (g_8k * v), g_s2d * v], -1).astype(acc_dtype)
                 start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
