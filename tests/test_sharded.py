@@ -101,3 +101,50 @@ def test_multichip_nonuniform_grid_exact_outside_halo(net_and_params):
     np.testing.assert_array_equal(seg[~halo], ref[~halo])
     if halo.any():
         assert (seg[halo] == ref[halo]).mean() > 0.99
+
+
+def test_multichip_s2d_matches_single_chip_s2d():
+    """Slab-parallel s2d sweep == single-chip s2d sweep away from halo rows
+    (same even-floored grid, same block-layout accumulation)."""
+    from fast_nnunet_tpu.inference.sharded import \
+        predict_segmentation_multichip_s2d
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+
+    kw = {"n_stages": 2, "features_per_stage": [4, 8],
+          "kernel_sizes": [[3, 3, 3]] * 2, "strides": [[1, 1, 1], [2, 2, 2]],
+          "n_conv_per_stage": [2, 2], "n_conv_per_stage_decoder": [2],
+          "nonlin": "torch.nn.LeakyReLU"}
+    K2 = 3
+    net = get_network_from_plans("PlainConvUNet", kw, (), 1, K2,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 8, 8, 1)),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, kw, K2, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+
+    assert jax.device_count() >= 8
+    space_mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("space",))
+    eng = SlidingWindowEngine(s2d, (8, 8, 8), K2, shape_bucket=4,
+                              compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32, tile_batch=4,
+                              use_s2d_sweep=True)
+    vol = np.random.RandomState(3).rand(1, 40, 12, 12).astype(np.float32)
+    seg_multi = predict_segmentation_multichip_s2d(eng, sp, vol, space_mesh)
+    seg_single = eng.predict_segmentation_sweep_s2d(sp, vol)
+    assert seg_multi.shape == (40, 12, 12)
+    # same even grid + fp32 accumulation: halo reassociation is the only
+    # diff source; with fp32 everywhere it should be essentially exact
+    agree = (seg_multi == seg_single).mean()
+    assert agree > 0.999, f"multichip s2d agreement {agree}"
+    # non-halo rows bit-exact; s2d slab ownership rounds `owned` UP TO EVEN
+    # and uses the even-floored grid, so recompute boundaries accordingly
+    owned = -(-40 // 8)
+    owned += owned % 2
+    starts = [s - s % 2
+              for s in compute_steps_for_sliding_window((40,), (8,), 0.5)[0]]
+    halo = np.zeros(40, bool)
+    for d in range(1, 8):
+        boundary = d * owned
+        spill = max((s + 8 for s in starts if s < boundary), default=0)
+        halo[boundary:min(spill, 40)] = True
+    np.testing.assert_array_equal(seg_multi[~halo], seg_single[~halo])
