@@ -125,9 +125,9 @@ class SlidingWindowEngine:
         # 512^3 x 61 classes is confirmed on hardware (see docs/Performance.md)
         self.use_coset_sweep = use_coset_sweep
         # opt-in: whole sweep in the space-to-depth domain (network must be an
-        # S2DPlainConvUNet): half-res accumulation with 8(K+1) offset-major
-        # channels lane-pads ~1.03x instead of the full-res (K+1)->128 2.1x,
-        # on top of the s2d conv win (see models/s2d.py docstring)
+        # S2DPlainConvUNet): half-res accumulation with [8K logits | 8 weight]
+        # block channels lane-pads ~1.03x instead of the full-res (K+1)->128
+        # 2.1x, on top of the s2d conv win (see models/s2d.py docstring)
         self.use_s2d_sweep = use_s2d_sweep
         # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
         # Wins only when per-call dispatch latency is negligible (local PCIe
@@ -1045,9 +1045,6 @@ class SlidingWindowEngine:
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
         g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
             0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
-        # per-(offset, class) gaussian in the block layout: offset-major
-        # groups of K, matching the seg head's channel order
-        g_8k = jnp.repeat(g_s2d, K, axis=-1)  # (p0h, pyh, pzh, 8K)
         plane = vol_shape[1:]  # (Yp, Zp) both even
         plane_h = (plane[0] // 2, plane[1] // 2)
         n_starts = len(starts_x)
@@ -1073,7 +1070,8 @@ class SlidingWindowEngine:
             return jnp.concatenate(
                 [acc[n_h:], jnp.zeros((n_h, *plane_h, C8), acc_dtype)], 0)
 
-        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
+        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0,
+                             g_8k, g_acc):
             B = coords_b.shape[0]
             patches = []
             for b in range(B):
@@ -1083,9 +1081,9 @@ class SlidingWindowEngine:
             x = jnp.stack(patches).astype(self.compute_dtype)
             logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K)
             for b in range(B):
-                v = valid_b[b]
+                v = valid_b[b].astype(acc_dtype)
                 contrib = jnp.concatenate(
-                    [logits8[b] * (g_8k * v), g_s2d * v], -1).astype(acc_dtype)
+                    [logits8[b].astype(acc_dtype) * (g_8k * v), g_acc * v], -1)
                 start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
@@ -1097,6 +1095,13 @@ class SlidingWindowEngine:
             # per-chunk when per_chunk_valid (air skipping)
             acc0 = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
+            # per-(offset, class) gaussian for the block layout, expanded
+            # ON DEVICE once (a host-side constant would bake 8K x spatial
+            # fp32 ~360 MB into the serialized HLO — blew the remote-compile
+            # upload limit with HTTP 413). Cast to acc_dtype so the bf16
+            # contrib math never silently promotes to fp32
+            g_acc = g_s2d.astype(acc_dtype)
+            g_8k = jnp.repeat(g_acc, K, axis=-1)
 
             def accumulate(acc, x0, valid_c):
                 def tile_body(a, cv):
@@ -1108,10 +1113,12 @@ class SlidingWindowEngine:
                             valid_b.sum() > 0,
                             lambda a: accumulate_batch(a, vol, coords_b,
                                                        valid_b,
-                                                       stacked_params, x0),
+                                                       stacked_params, x0,
+                                                       g_8k, g_acc),
                             lambda a: a, a), None
                     return accumulate_batch(a, vol, coords_b, valid_b,
-                                            stacked_params, x0), None
+                                            stacked_params, x0, g_8k,
+                                            g_acc), None
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_c))
                 return acc

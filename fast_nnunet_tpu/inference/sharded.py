@@ -241,7 +241,6 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
     g = engine._gaussian_for(acc_dtype)
     g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
         0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
-    g_8k = jnp.repeat(g_s2d, K, axis=-1)
     forward = engine._tile_step_fn(n_folds, s2d_output=True)
     compute_dtype = engine.compute_dtype
 
@@ -252,6 +251,10 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
         coords = coords[0]
         valid = valid[0]
         acc0 = jnp.zeros((ext_h, *plane_h, C8), acc_dtype)
+        # expanded on device — a host-side 8K x spatial constant bloats the
+        # serialized HLO past the remote-compile limit (see engine.py)
+        g_acc = g_s2d.astype(acc_dtype)
+        g_8k = jnp.repeat(g_acc, K, axis=-1)
 
         def body(a, cv):
             cb, vb = cv
@@ -261,9 +264,10 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
             x = jnp.stack(patches).astype(compute_dtype)
             logits8 = forward(params, x)
             for b in range(B):
-                v = vb[b]
+                v = vb[b].astype(acc_dtype)
                 contrib = jnp.concatenate(
-                    [logits8[b] * (g_8k * v), g_s2d * v], -1).astype(acc_dtype)
+                    [logits8[b].astype(acc_dtype) * (g_8k * v), g_acc * v],
+                    -1)
                 start = (cb[b][0] // 2, cb[b][1] // 2, cb[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
