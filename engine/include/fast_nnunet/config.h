@@ -32,6 +32,11 @@ struct EngineConfig {
     // tiles per device call on the in-process PJRT backend; must match the
     // batch dimension the StableHLO artifact was exported with (-b)
     int tile_batch = 1;
+    // empty-tile skipping: drop tiles whose HU stays below
+    // lower_bound + air_margin_hu (whole-body CTs are 30-50% air); voxels
+    // covered only by skipped tiles come out background
+    bool skip_air_tiles = false;
+    float air_margin_hu = 200.f;
 
     static EngineConfig from_ini(const std::string& path);
 };

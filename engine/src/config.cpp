@@ -72,13 +72,18 @@ EngineConfig EngineConfig::from_ini(const std::string& path) {
     if (!get("input", "target_spacing", "").empty())
         c.target_spacing = parse_tuple<float, 3>(get("input", "target_spacing", ""));
     c.mean = std::stof(get("preprocessing", "mean", "0"));
-    c.std = std::stof(get("preprocessing", "std", "1"));
+    // the reference INI spells it std_dev (ref engine/config/
+    // fast_nnunet_bone_turbo.ini); accept both
+    c.std = std::stof(get("preprocessing", "std",
+                          get("preprocessing", "std_dev", "1")));
     c.lower_bound = std::stof(get("preprocessing", "lower_bound", "-1000"));
     c.upper_bound = std::stof(get("preprocessing", "upper_bound", "3000"));
     c.use_mirroring = parse_bool(get("inference", "use_mirroring", "false"));
     c.step_size = std::stof(get("inference", "step_size", "0.5"));
     c.use_gaussian = parse_bool(get("inference", "use_gaussian", "true"));
     c.tile_batch = std::stoi(get("inference", "tile_batch", "1"));
+    c.skip_air_tiles = parse_bool(get("inference", "skip_air_tiles", "false"));
+    c.air_margin_hu = std::stof(get("inference", "air_margin_hu", "200"));
     return c;
 }
 

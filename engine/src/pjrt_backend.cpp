@@ -398,6 +398,49 @@ class PjrtBackend : public Backend {
             for (int64_t y0 : sy)
                 for (int64_t z0 : sz) starts.push_back({x0, y0, z0});
 
+        if (cfg.skip_air_tiles) {
+            // empty-tile skipping on the normalized volume: one-pass 8^3
+            // block maxima, then drop tiles whose covering blocks all stay
+            // below the air threshold (voxels covered only by dropped tiles
+            // have weight 0 -> argmax 0 = background). Whole-body CTs are
+            // typically 30-50% air (parity with the Python TurboPipeline).
+            const float thr = (std::min(cfg.lower_bound + cfg.air_margin_hu,
+                                        cfg.upper_bound) -
+                               cfg.mean) / cfg.std;
+            const int64_t bs = 8;
+            const int64_t gx = (padded[0] + bs - 1) / bs;
+            const int64_t gy = (padded[1] + bs - 1) / bs;
+            const int64_t gz = (padded[2] + bs - 1) / bs;
+            std::vector<float> bmax(size_t(gx) * gy * gz, -1e30f);
+            for (int64_t z = 0; z < padded[2]; ++z)
+                for (int64_t y = 0; y < padded[1]; ++y) {
+                    const float* row = vol.data() +
+                        padded[0] * (y + padded[1] * z);
+                    float* brow = bmax.data() +
+                        gx * ((y / bs) + gy * (z / bs));
+                    for (int64_t x = 0; x < padded[0]; ++x) {
+                        float v = row[x];
+                        if (v > brow[x / bs]) brow[x / bs] = v;
+                    }
+                }
+            std::vector<std::array<int64_t, 3>> kept;
+            for (const auto& s : starts) {
+                bool body = false;
+                for (int64_t bx = s[0] / bs;
+                     bx <= (s[0] + patch[0] - 1) / bs && !body; ++bx)
+                    for (int64_t by = s[1] / bs;
+                         by <= (s[1] + patch[1] - 1) / bs && !body; ++by)
+                        for (int64_t bz = s[2] / bs;
+                             bz <= (s[2] + patch[2] - 1) / bs; ++bz)
+                            if (bmax[bx + gx * (by + gy * bz)] > thr) {
+                                body = true;
+                                break;
+                            }
+                if (body) kept.push_back(s);
+            }
+            if (!kept.empty()) starts.swap(kept);
+        }
+
         auto crop_tile = [&](size_t slot, const std::array<int64_t, 3>& s) {
             // crop (x fastest in volume) -> row-major (px,py,pz) order
             // expected by the channels-last executable
@@ -481,9 +524,14 @@ class PjrtBackend : public Backend {
                         size_t v = (i + lo[0]) +
                                    padded[0] * ((j + lo[1]) +
                                                 padded[1] * (k + lo[2]));
+                        // wsum==0 only where every covering tile was skipped
+                        // as air: emit 0 logits everywhere -> argmax 0 =
+                        // background (not NaN)
                         out.data[size_t(c) * shape[0] * shape[1] * shape[2] +
                                  i + shape[0] * (j + shape[1] * k)] =
-                            acc[size_t(c) * pvol + v] / wsum[v];
+                            wsum[v] > 0.f
+                                ? acc[size_t(c) * pvol + v] / wsum[v]
+                                : 0.f;
                     }
         return out;
     }

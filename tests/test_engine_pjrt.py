@@ -260,3 +260,39 @@ def test_pjrt_backend_golden_checkpoint(built_engine, shim, tmp_path):
     agree = float((mask == want).mean())
     assert agree > 0.999, f"C++/python golden agreement: {agree:.4f}"
     assert len(np.unique(mask)) >= 3, "trained golden net must segment"
+
+
+def test_pjrt_backend_air_skip(built_engine, shim, tmp_path):
+    """skip_air_tiles=true drops all-air tiles: air-only corners come out
+    background, the body region matches the unskipped run."""
+    from fast_nnunet_tpu.imageio.nifti import read_nifti, write_nifti
+
+    net, params, artifact = _make_model(tmp_path)
+
+    img = np.full((30, 26, 22), -1000.0, np.float32)
+    img[2:12, 2:12, 2:12] = (np.random.RandomState(3).rand(10, 10, 10)
+                             * 400).astype(np.float32)
+    ct = str(tmp_path / "ct.nii.gz")
+    write_nifti(ct, img, spacing=(1.0, 1.0, 1.0))
+
+    masks = {}
+    for skip in ("false", "true"):
+        ini = str(tmp_path / f"model_{skip}.ini")
+        with open(ini, "w") as f:
+            f.write("[model]\nnum_class=3\n[input]\npatch_size=8x8x8\n"
+                    "target_spacing=(1.0,1.0,1.0)\n"
+                    "[preprocessing]\nmean=200\nstd=120\nlower_bound=0\n"
+                    "upper_bound=400\n"
+                    f"[inference]\nstep_size=0.5\nskip_air_tiles={skip}\n")
+        out = str(tmp_path / f"mask_{skip}.nii.gz")
+        r = subprocess.run(
+            [os.path.join(built_engine, "fast_nnunet_engine"), "--config",
+             ini, "--input", ct, "--output", out, "--pjrt", shim,
+             "--artifact", artifact, "--fp32-input"],
+            capture_output=True, text=True, timeout=600, env=_shim_env())
+        assert r.returncode == 0, r.stdout + r.stderr
+        masks[skip], _ = read_nifti(out)
+
+    assert masks["true"][-6:, -6:, -6:].max() == 0  # all-air far corner
+    body = (masks["true"] == masks["false"])[2:12, 2:12, 2:12]
+    assert body.mean() > 0.95, f"air-skip body agreement {body.mean()}"
