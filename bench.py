@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="small smoke config (CPU-safe)")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--classes", type=int, default=61)
-    ap.add_argument("--repeats", type=int, default=8,
+    ap.add_argument("--repeats", type=int, default=12,
                     help="best-of-N (the dev tunnel's run-to-run variance is "
                          "~2-3x — see docs/Performance.md; more samples give "
                          "the min a chance; the 360 s wall budget still caps "

@@ -252,9 +252,11 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
         valid = valid[0]
         acc0 = jnp.zeros((ext_h, *plane_h, C8), acc_dtype)
         # expanded on device — a host-side 8K x spatial constant bloats the
-        # serialized HLO past the remote-compile limit (see engine.py)
+        # serialized HLO past the remote-compile limit, and without the
+        # barrier XLA re-fuses the repeat's gather into every accumulator
+        # RMW (see engine.py _build_sweep_runner_s2d)
         g_acc = g_s2d.astype(acc_dtype)
-        g_8k = jnp.repeat(g_acc, K, axis=-1)
+        g_8k = jax.lax.optimization_barrier(jnp.repeat(g_acc, K, axis=-1))
 
         def body(a, cv):
             cb, vb = cv

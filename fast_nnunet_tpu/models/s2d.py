@@ -138,12 +138,11 @@ def _instance_norm(x: Array, scale: Array, bias: Array, eps: float,
     c8 = x.shape[-1]
     c = c8 // groups
     x32 = x.astype(jnp.float32).reshape(B, -1, groups, c)
-    # single-pass stats: E[x] and E[x^2] fuse into ONE read of the feature
-    # map (jnp.var would re-derive the mean -> an extra full pass; the norm
-    # reductions were 35% of profiled sweep device time pre-s2d)
+    # measured on hardware (round 3): the E[x]/E[x^2] single-pass variant
+    # did NOT fuse into one read on this XLA version and profiled slower
+    # (reduce fusions 1.9 -> 3.8 s) — keep mean/var
     mean = x32.mean(axis=(1, 2), keepdims=True)
-    m2 = (x32 * x32).mean(axis=(1, 2), keepdims=True)
-    var = jnp.maximum(m2 - mean * mean, 0.0)
+    var = x32.var(axis=(1, 2), keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale + bias
     return y.reshape(x.shape).astype(orig)
