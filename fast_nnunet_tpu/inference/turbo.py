@@ -108,55 +108,95 @@ class TurboPipeline:
                               - config.mean) / config.std
         self._jit_cache = {}
 
-    # ------------------------------------------------------------- device programs
-    def _preprocess_program(self, in_shape, new_shape, vol_shape, compute_dtype):
-        key = ("pre", in_shape, new_shape, vol_shape)
+    # ------------------------------------------------------------- device program
+    def _full_program(self, in_shape, new_shape, vol_shape, n_folds: int):
+        """ONE jitted program for the whole pipeline: normalize -> trilinear
+        resample -> (air-flag computation on device) -> s2d sweep -> nearest
+        revert to the original grid. Per-call dispatch through a tunneled
+        runtime costs seconds, so the former three-dispatch design
+        (preprocess / sweep / revert with a block-max D2H in between) is
+        fused into a single device call per CT. Returns
+        (fn(stacked_params, raw) -> seg(in_shape) uint8, coords_b, valid_b)."""
+        key = ("full", in_shape, new_shape, vol_shape, n_folds,
+               self.air_skip, round(float(self.air_threshold), 6))
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
         import jax.numpy as jnp
+        from jax import lax
+        from ..ops.sliding_window import tile_coords_from_steps
+
         cfg = self.config
+        eng = self.engine
+        patch = eng.patch_size
+        _, steps = eng.s2d_sweep_plan(new_shape)
+        starts_x = tuple(steps[0])
+        coords_yz = tile_coords_from_steps(steps[1:])
+        coords_full = np.concatenate(
+            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
+        coords_b, valid_b = eng._batched_coords(coords_full)
+        nb, B = valid_b.shape
+        n_chunks = len(starts_x)
+        builder = eng._build_sweep_runner_s2d_skip if self.air_skip \
+            else eng._build_sweep_runner_s2d
+        sweep = builder(vol_shape, starts_x, nb, n_folds, 1)
+
+        fill = (cfg.lower_bound - cfg.mean) / cfg.std
         pad = [(0, v - n) for v, n in zip(vol_shape, new_shape)]
+        thr = float(self.air_threshold)
+        compute_dtype = eng.compute_dtype
+
+        # static air-flag gather indices: tile (chunk ci, slot t) covers
+        # blocks [idx, idx + win) per axis on the 8^3 block grid
+        win = tuple(p // 8 + 1 for p in patch)
+        bs = [(-(-n // 8)) * 8 for n in new_shape]
+        xi = np.asarray([x0 // 8 for x0 in starts_x], np.int32)
+        flat = coords_b.reshape(-1, 3)
+        yi = np.asarray(flat[:, 1] // 8, np.int32)
+        zi = np.asarray(flat[:, 2] // 8, np.int32)
 
         @jax.jit
-        def pre(raw):
+        def full(stacked_params, raw, coords_b_d, valid_b_d):
             x = raw.astype(jnp.float32)
             x = jnp.clip(x, cfg.lower_bound, cfg.upper_bound)
             x = (x - cfg.mean) / cfg.std
             x = jax.image.resize(x, new_shape, method="trilinear",
                                  antialias=False).astype(compute_dtype)
-            # coarse 8^3 block maxima for host-side air-tile skipping (tiny
-            # D2H; the full resampled volume never leaves the device)
-            bs = [max(1, n // 8 * 8) for n in new_shape]
-            blocks = x[:bs[0], :bs[1], :bs[2]].reshape(
-                bs[0] // 8, 8, bs[1] // 8, 8, bs[2] // 8, 8).max((1, 3, 5))
-            xp = jnp.pad(x, pad, constant_values=(cfg.lower_bound - cfg.mean)
-                         / cfg.std)
-            return xp[..., None], blocks
+            xp = jnp.pad(x, pad, constant_values=fill)[..., None]
 
-        self._jit_cache[key] = pre
-        return pre
+            if self.air_skip:
+                # 8^3 block maxima over the air-padded resampled volume, then
+                # sliding-box maxima (reduce_window) give per-tile maxima at
+                # static gather indices — the whole skip decision stays on
+                # device; partial edge blocks are padded with the air floor
+                # so they can never hide body voxels
+                xb = jnp.pad(x, [(0, b - n) for b, n in zip(bs, new_shape)],
+                             constant_values=fill)
+                blocks = xb.reshape(bs[0] // 8, 8, bs[1] // 8, 8,
+                                    bs[2] // 8, 8).max((1, 3, 5))
+                neg = jnp.asarray(-jnp.inf, blocks.dtype)
+                boxmax = lax.reduce_window(
+                    blocks, neg, lax.max, win, (1, 1, 1),
+                    [(0, w - 1) for w in win])
+                flags = boxmax[xi[:, None], yi[None, :], zi[None, :]] > thr
+                valid_chunks = flags.reshape(n_chunks, nb, B).astype(
+                    jnp.float32) * valid_b_d[None]
+                seg = sweep(stacked_params, xp, coords_b_d, valid_chunks)
+            else:
+                seg = sweep(stacked_params, xp, coords_b_d, valid_b_d)
 
-    def _revert_program(self, seg_shape, new_shape, out_shape):
-        key = ("rev", seg_shape, new_shape, out_shape)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
-        import jax
-        import jax.numpy as jnp
+            s = lax.slice(seg, (0, 0, 0), new_shape)
+            return jax.image.resize(s, in_shape, method="nearest")
 
-        @jax.jit
-        def rev(seg):
-            s = jax.lax.slice(seg, (0, 0, 0), new_shape)
-            return jax.image.resize(s, out_shape, method="nearest")
-
-        self._jit_cache[key] = rev
-        return rev
+        entry = (full, jnp.asarray(coords_b), jnp.asarray(valid_b))
+        self._jit_cache[key] = entry
+        return entry
 
     # ------------------------------------------------------------------ prediction
     def predict_volume(self, params_list, volume: np.ndarray,
                        spacing: Sequence[float]) -> np.ndarray:
         """(D, H, W) raw HU volume in image axis order + its spacing ->
-        uint8 segmentation on the ORIGINAL grid. All heavy work on device."""
+        uint8 segmentation on the ORIGINAL grid. ONE device call."""
         import jax
         import jax.numpy as jnp
         cfg = self.config
@@ -167,64 +207,17 @@ class TurboPipeline:
         new_shape = tuple(int(round(s * sp / tsp)) for s, sp, tsp in zip(
             vol_t.shape, spacing_t, cfg.target_spacing))
         new_shape = tuple(max(n, p) for n, p in zip(new_shape, eng.patch_size))
+        vol_shape, _ = eng.s2d_sweep_plan(new_shape)
 
-        vol_shape, steps = eng.s2d_sweep_plan(new_shape)
-        pre = self._preprocess_program(vol_t.shape, new_shape, vol_shape,
-                                       eng.compute_dtype)
-        vol_dev, block_max = pre(jnp.asarray(np.ascontiguousarray(vol_t)))
-
-        if self.air_skip:
-            seg_dev = self._run_sweep_air_skip(params_list, vol_dev, new_shape,
-                                               np.asarray(block_max))
-        else:
-            seg_dev = eng.run_s2d_sweep(params_list, vol_dev, new_shape)
-
-        rev = self._revert_program(tuple(seg_dev.shape), new_shape, vol_t.shape)
-        seg = np.asarray(rev(seg_dev))
-        return np.transpose(seg, cfg.transpose_backward)
-
-    def _run_sweep_air_skip(self, params_list, vol_dev, spatial, block_max):
-        """Sweep with per-chunk batch validity from the coarse block-max map:
-        a tile is AIR when every 8^3 block it covers is below the threshold;
-        air tiles contribute nothing (their accumulator rows argmax to
-        background) and whole-air batches skip the forward via lax.cond."""
-        import jax.numpy as jnp
-        eng = self.engine
-        vol_shape, steps = eng.s2d_sweep_plan(spatial)
-        starts_x = tuple(steps[0])
-        from ..ops.sliding_window import tile_coords_from_steps
-        coords_yz = tile_coords_from_steps(steps[1:])
-        coords_full = np.concatenate(
-            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
-        coords_b, valid_b = eng._batched_coords(coords_full)
-
-        # per-(chunk, tile) air flags on the 8^3 block grid
-        thr = self.air_threshold
-        nb, B = valid_b.shape
-        valid_chunks = np.zeros((len(starts_x), nb, B), np.float32)
-        gb = block_max.shape
-        for ci, x0 in enumerate(starts_x):
-            for bi in range(nb):
-                for bj in range(B):
-                    if valid_b[bi, bj] == 0:
-                        continue
-                    c = coords_b[bi, bj]
-                    sl = tuple(slice(min(s // 8, g - 1),
-                                     min((s + p + 7) // 8, g))
-                               for s, p, g in zip((x0 + c[0], c[1], c[2]),
-                                                  eng.patch_size, gb))
-                    if block_max[sl].size and block_max[sl].max() > thr:
-                        valid_chunks[ci, bi, bj] = 1.0
         if not isinstance(params_list, (list, tuple)):
             params_list = [params_list]
-        import jax
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                          *params_list)
-        sweep = eng._build_sweep_runner_s2d_skip(
-            vol_shape, starts_x, nb, len(params_list),
-            int(vol_dev.shape[-1]))
-        return sweep(stacked, vol_dev, jnp.asarray(coords_b),
-                     jnp.asarray(valid_chunks))
+        full, coords_b, valid_b = self._full_program(
+            vol_t.shape, new_shape, vol_shape, len(params_list))
+        seg = np.asarray(full(stacked, jnp.asarray(np.ascontiguousarray(vol_t)),
+                              coords_b, valid_b))
+        return np.transpose(seg, cfg.transpose_backward)
 
     @classmethod
     def from_model_folder(cls, model_folder: str, fold=0,
