@@ -1084,6 +1084,13 @@ class SlidingWindowEngine:
                 v = valid_b[b].astype(acc_dtype)
                 contrib = jnp.concatenate(
                     [logits8[b].astype(acc_dtype) * (g_8k * v), g_acc * v], -1)
+                # materialize the contribution BEFORE the accumulator RMW:
+                # letting XLA fuse the gaussian-multiply/concat producer into
+                # the dynamic_update_slice fusion drops the RMW to ~35 GB/s
+                # (profiled: DUS 1.7 s -> 10.9 s); a clean two-operand
+                # read-add-write runs near memory speed and the extra
+                # contrib round-trip is ~0.3 s total
+                contrib = jax.lax.optimization_barrier(contrib)
                 start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)

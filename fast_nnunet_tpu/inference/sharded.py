@@ -270,6 +270,9 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
                 contrib = jnp.concatenate(
                     [logits8[b].astype(acc_dtype) * (g_8k * v), g_acc * v],
                     -1)
+                # materialized before the RMW — see engine.py
+                # _build_sweep_runner_s2d (fused producers tank the DUS BW)
+                contrib = jax.lax.optimization_barrier(contrib)
                 start = (cb[b][0] // 2, cb[b][1] // 2, cb[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
