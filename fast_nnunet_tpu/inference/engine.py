@@ -125,8 +125,8 @@ class SlidingWindowEngine:
         # 512^3 x 61 classes is confirmed on hardware (see docs/Performance.md)
         self.use_coset_sweep = use_coset_sweep
         # opt-in: whole sweep in the space-to-depth domain (network must be an
-        # S2DPlainConvUNet): half-res accumulation with [8K logits | 8 weight]
-        # block channels lane-pads ~1.03x instead of the full-res (K+1)->128
+        # S2DPlainConvUNet): half-res accumulation with interleaved (offset,
+        # K+1) channel groups lane-pads ~1.03x instead of the full-res (K+1)->128
         # 2.1x, on top of the s2d conv win (see models/s2d.py docstring)
         self.use_s2d_sweep = use_s2d_sweep
         # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
@@ -172,13 +172,12 @@ class SlidingWindowEngine:
             """x: (B, *patch, C) -> fp32 logits (B, *patch, K), TTA-averaged.
             (s2d_output: (B, *patch/2, 8K) half-res offset-major logits.)"""
             if s2d_output:
-                out = network.apply(params, x, deep_supervision=False,
-                                    s2d_output=True)
-                # single fold: stay in compute dtype — the fp32 materialization
-                # of the (B, p0/2, py/2, pz/2, 8K) logits costs ~2.4 GB of HBM
-                # traffic per batch step for nothing (profiled round 3); the
-                # fold-ensemble sum still runs fp32 for averaging precision
-                return out if n_folds == 1 else out.astype(jnp.float32)
+                # fp32 on purpose: a bf16-end-to-end contrib path measured
+                # SLOWER on hardware (device 15.9 -> 19.9+ s traced — XLA's
+                # fusions around the fp32 intermediate vectorize better on
+                # this backend; negative result, round 3)
+                return network.apply(params, x, deep_supervision=False,
+                                     s2d_output=True).astype(jnp.float32)
             acc = None
             for combo in combos:
                 axes = tuple(a + 1 for a in combo)
@@ -1019,8 +1018,7 @@ class SlidingWindowEngine:
         """Single-jit rolling sweep with accumulation in the SPACE-TO-DEPTH
         domain. The S2D network's seg head already produces half-res
         offset-major logits (B, p0/2, py/2, pz/2, 8K); accumulating in that
-        layout makes the fused accumulator (..., [8K logits | 8 weights]) =
-        496 channels for bone_turbo — lane-padded 496->512 (1.03x) instead of the full-res
+        layout makes the fused accumulator (..., 8(K+1)) = 496 channels for bone_turbo — lane-padded 496->512 (1.03x) instead of the full-res
         62->128 (2.1x). Halves accumulator HBM + RMW traffic on top of the
         s2d conv win. Finalize is argmax within each offset group then a
         cheap uint8 depth_to_space per chunk. Requires even tile starts
@@ -1035,11 +1033,15 @@ class SlidingWindowEngine:
         p0 = patch[0]
         p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
         K = self.num_classes
-        # BLOCK channel layout [8K logits | 8 weights] (not (o, K+1)
-        # interleaved): the seg head's offset-major 8K output is used AS IS —
-        # no (..., 8, K+1) split/merge relayouts per tile (profiled round 3:
-        # copies + reshapes were 30% of s2d device time)
-        C8 = 8 * K + 8
+        # INTERLEAVED (offset, K+1) channel groups, fp32 logits intermediate.
+        # A "block [8K | 8w]" layout with bf16 contribs looked cheaper on
+        # paper (no per-tile split/merge relayouts) but traced SLOWER on
+        # hardware in every variant tried — plain (19.9 s), g_8k barriered
+        # (22.6 s), contrib barriered (23.1 s) vs 15.9 s for this form: the
+        # accumulator RMW fusions lose ~6x bandwidth when XLA has to deal
+        # with the 8K-wide producers. Kept as the measured optimum; see
+        # docs/Performance.md round-3 iteration log.
+        C8 = 8 * (K + 1)
         forward = self._tile_step_fn(n_folds, s2d_output=True)
         acc_dtype = self.sweep_acc_dtype
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
@@ -1057,10 +1059,10 @@ class SlidingWindowEngine:
         x_last = starts_x[-1]
 
         def finalize_rows(acc, n_rows_h):
-            """acc (p0h, Yh, Zh, 8K+8) -> full-res uint8 rows (2n, Y, Z).
+            """acc (p0h, Yh, Zh, 8(K+1)) -> full-res uint8 rows (2n, Y, Z).
             argmax(a / w) == argmax(a) per offset group (same positive w
             within a group); weight-0 voxels argmax to 0 = background."""
-            r = acc[:n_rows_h, ..., :8 * K].reshape(n_rows_h, *plane_h, 8, K)
+            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K + 1)[..., :K]
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
             cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
             cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
@@ -1070,8 +1072,7 @@ class SlidingWindowEngine:
             return jnp.concatenate(
                 [acc[n_h:], jnp.zeros((n_h, *plane_h, C8), acc_dtype)], 0)
 
-        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0,
-                             g_8k, g_acc):
+        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
             B = coords_b.shape[0]
             patches = []
             for b in range(B):
@@ -1079,18 +1080,12 @@ class SlidingWindowEngine:
                 patches.append(jax.lax.dynamic_slice(
                     vol, start, patch + (in_channels,)))
             x = jnp.stack(patches).astype(self.compute_dtype)
-            logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K)
+            logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K) fp32
             for b in range(B):
-                v = valid_b[b].astype(acc_dtype)
-                contrib = jnp.concatenate(
-                    [logits8[b].astype(acc_dtype) * (g_8k * v), g_acc * v], -1)
-                # materialize the contribution BEFORE the accumulator RMW:
-                # letting XLA fuse the gaussian-multiply/concat producer into
-                # the dynamic_update_slice fusion drops the RMW to ~35 GB/s
-                # (profiled: DUS 1.7 s -> 10.9 s); a clean two-operand
-                # read-add-write runs near memory speed and the extra
-                # contrib round-trip is ~0.3 s total
-                contrib = jax.lax.optimization_barrier(contrib)
+                y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
+                gw = (g_s2d * valid_b[b])[..., None]  # (p0h,pyh,pzh,8,1)
+                contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
+                contrib = contrib.reshape(p0h, pyh, pzh, C8)
                 start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
@@ -1102,17 +1097,6 @@ class SlidingWindowEngine:
             # per-chunk when per_chunk_valid (air skipping)
             acc0 = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
-            # per-(offset, class) gaussian for the block layout, expanded
-            # ON DEVICE once (a host-side constant would bake 8K x spatial
-            # fp32 ~360 MB into the serialized HLO — blew the remote-compile
-            # upload limit with HTTP 413). Cast to acc_dtype so the bf16
-            # contrib math never silently promotes to fp32. The barrier
-            # forces ONE materialization: without it XLA fuses the repeat's
-            # per-element gather into every accumulator DUS, and the RMW
-            # fusions drop to ~20 GB/s (profiled: DUS 1.7 s -> 10.9 s)
-            g_acc = g_s2d.astype(acc_dtype)
-            g_8k = jax.lax.optimization_barrier(
-                jnp.repeat(g_acc, K, axis=-1))
 
             def accumulate(acc, x0, valid_c):
                 def tile_body(a, cv):
@@ -1124,12 +1108,10 @@ class SlidingWindowEngine:
                             valid_b.sum() > 0,
                             lambda a: accumulate_batch(a, vol, coords_b,
                                                        valid_b,
-                                                       stacked_params, x0,
-                                                       g_8k, g_acc),
+                                                       stacked_params, x0),
                             lambda a: a, a), None
                     return accumulate_batch(a, vol, coords_b, valid_b,
-                                            stacked_params, x0, g_8k,
-                                            g_acc), None
+                                            stacked_params, x0), None
 
                 acc, _ = jax.lax.scan(tile_body, acc, (coords_yz, valid_c))
                 return acc

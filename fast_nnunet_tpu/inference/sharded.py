@@ -166,7 +166,7 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
     mesh. Same structure as predict_segmentation_multichip (tiles assigned
     by start row, overhang forwarded right along the ICI ring) but the
     accumulator lives in the space-to-depth block layout
-    ([8K logits | 8 weights] at half resolution, ~1.03x lane pad), and the
+    (interleaved (offset, K+1) groups at half resolution, ~1.03x lane pad), and the
     finalize is per-offset-group argmax + uint8 depth_to_space per device.
 
     Requires an S2DPlainConvUNet engine network, even patch dims, no
@@ -188,7 +188,7 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
     p0 = patch[0]
     p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
     K = engine.num_classes
-    C8 = 8 * K + 8
+    C8 = 8 * (K + 1)  # interleaved (offset, K+1) groups — measured optimum
 
     x_tight = _round_up(max(spatial[0], p0), 2)
     tight_rest = tuple(_round_up(max(s, p), 2)
@@ -251,12 +251,6 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
         coords = coords[0]
         valid = valid[0]
         acc0 = jnp.zeros((ext_h, *plane_h, C8), acc_dtype)
-        # expanded on device — a host-side 8K x spatial constant bloats the
-        # serialized HLO past the remote-compile limit, and without the
-        # barrier XLA re-fuses the repeat's gather into every accumulator
-        # RMW (see engine.py _build_sweep_runner_s2d)
-        g_acc = g_s2d.astype(acc_dtype)
-        g_8k = jax.lax.optimization_barrier(jnp.repeat(g_acc, K, axis=-1))
 
         def body(a, cv):
             cb, vb = cv
@@ -264,15 +258,12 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
                 vol_local, (cb[b][0], cb[b][1], cb[b][2], 0),
                 patch + (in_channels,)) for b in range(B)]
             x = jnp.stack(patches).astype(compute_dtype)
-            logits8 = forward(params, x)
+            logits8 = forward(params, x)  # fp32
             for b in range(B):
-                v = vb[b].astype(acc_dtype)
-                contrib = jnp.concatenate(
-                    [logits8[b].astype(acc_dtype) * (g_8k * v), g_acc * v],
-                    -1)
-                # materialized before the RMW — see engine.py
-                # _build_sweep_runner_s2d (fused producers tank the DUS BW)
-                contrib = jax.lax.optimization_barrier(contrib)
+                y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
+                gw = (g_s2d * vb[b])[..., None]
+                contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
+                contrib = contrib.reshape(p0h, pyh, pzh, C8)
                 start = (cb[b][0] // 2, cb[b][1] // 2, cb[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
@@ -287,7 +278,7 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
             acc = acc.at[owned_h:].set(0)
             acc = acc.at[:halo_h].add(tail * keep)
 
-        r = acc[:owned_h, ..., :8 * K].reshape(owned_h, *plane_h, 8, K)
+        r = acc[:owned_h].reshape(owned_h, *plane_h, 8, K + 1)[..., :K]
         cls8 = r.argmax(-1).astype(jnp.uint8)
         cls8 = cls8.reshape(owned_h, *plane_h, 2, 2, 2).transpose(
             0, 3, 1, 4, 2, 5)
