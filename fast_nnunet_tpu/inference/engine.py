@@ -1041,7 +1041,6 @@ class SlidingWindowEngine:
         # accumulator RMW fusions lose ~6x bandwidth when XLA has to deal
         # with the 8K-wide producers. Kept as the measured optimum; see
         # docs/Performance.md round-3 iteration log.
-        C8 = 8 * (K + 1)
         forward = self._tile_step_fn(n_folds, s2d_output=True)
         acc_dtype = self.sweep_acc_dtype
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
@@ -1059,10 +1058,10 @@ class SlidingWindowEngine:
         x_last = starts_x[-1]
 
         def finalize_rows(acc, n_rows_h):
-            """acc (p0h, Yh, Zh, 8(K+1)) -> full-res uint8 rows (2n, Y, Z).
+            """acc (p0h, Yh, Zh, 8, K+1) -> full-res uint8 rows (2n, Y, Z).
             argmax(a / w) == argmax(a) per offset group (same positive w
             within a group); weight-0 voxels argmax to 0 = background."""
-            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K + 1)[..., :K]
+            r = acc[:n_rows_h, ..., :K]
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
             cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
             cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
@@ -1070,7 +1069,8 @@ class SlidingWindowEngine:
 
         def shift_by(acc, n_h):  # static n_h (s2d rows)
             return jnp.concatenate(
-                [acc[n_h:], jnp.zeros((n_h, *plane_h, C8), acc_dtype)], 0)
+                [acc[n_h:], jnp.zeros((n_h, *plane_h, 8, K + 1), acc_dtype)],
+                0)
 
         def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
             B = coords_b.shape[0]
@@ -1084,10 +1084,14 @@ class SlidingWindowEngine:
             for b in range(B):
                 y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
                 gw = (g_s2d * valid_b[b])[..., None]  # (p0h,pyh,pzh,8,1)
+                # the accumulator stays 5D (..., 8, K+1): the TPU tiles the
+                # two minor dims to (8, 64) — physically identical to the
+                # flattened 496-channel layout — but the contribution needs
+                # NO flatten/unflatten relayout around the RMW
                 contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
-                contrib = contrib.reshape(p0h, pyh, pzh, C8)
-                start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
-                cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
+                start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0, 0)
+                cur = jax.lax.dynamic_slice(a, start,
+                                            (p0h, pyh, pzh, 8, K + 1))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
             return a
 
@@ -1095,7 +1099,7 @@ class SlidingWindowEngine:
         def sweep(stacked_params, vol, coords_yz, valid_yz):
             # valid_yz: (nb, B) shared across chunks, or (n_chunks, nb, B)
             # per-chunk when per_chunk_valid (air skipping)
-            acc0 = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
+            acc0 = jnp.zeros((p0h, *plane_h, 8, K + 1), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
             def accumulate(acc, x0, valid_c):
