@@ -177,7 +177,11 @@ def main_e2e(args):
     if args.tiny:
         size = (48, 48, 40)
     vol, spacing = make_synthetic_ct(size, (0.8, 0.8, 1.0))
-    tmp = tempfile.mkdtemp(prefix="fnn_e2e_")
+    # tmpfs when available: the container's virtio disk throttles to tens of
+    # seconds per 100 MB under load (measured: 51.7 s for one mask write),
+    # which would benchmark the VM's disk QoS instead of the pipeline
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="fnn_e2e_", dir=tmp_base)
     f_in = os.path.join(tmp, "ct.nii.gz")
     f_out = os.path.join(tmp, "seg.nii.gz")
     # vol is (x, y, z) index order; write as-is (reader reverses to (z, y, x))
@@ -195,6 +199,8 @@ def main_e2e(args):
         if time.perf_counter() > budget_end:
             break
     best = min(times)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     print("per-run e2e seconds:", times, "| best breakdown:", best_stats,
           file=sys.stderr)
     print(json.dumps({
