@@ -10,6 +10,7 @@ math matches the reference voxel-for-voxel. The full header is kept in
 properties for geometry-exact round trips.
 """
 import gzip
+import os
 import struct
 from typing import List, Optional, Sequence, Tuple
 
