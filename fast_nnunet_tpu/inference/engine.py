@@ -509,7 +509,15 @@ class SlidingWindowEngine:
             run = self._build_runner(padded, len(coords), n_folds, volume.shape[0])
             acc, wsum = run(stacked, jnp.asarray(vol), jnp.asarray(coords),
                             jnp.asarray(valid))
-            acc_np = np.asarray(acc[sl], dtype=np.float32)
+            if host_dtype.itemsize == 2:
+                # fp16 host merge: convert ON DEVICE before the fetch — the
+                # D2H of ~32 GB of chunk accumulators is the probabilities
+                # path's bottleneck through a tunneled runtime, and halving
+                # the bytes halves it (logit*weight sums are O(1e3), well
+                # inside fp16 range)
+                acc_np = np.asarray(jnp.asarray(acc[sl], jnp.float16))
+            else:
+                acc_np = np.asarray(acc[sl], dtype=np.float32)
             w_np = np.asarray(wsum[sl], dtype=np.float32)[..., 0]
             valid_sl = tuple(slice(s0, min(s0 + e, spatial[a]))
                              for a, (s0, e) in enumerate(zip(starts, exts)))
