@@ -498,6 +498,19 @@ class SlidingWindowEngine:
             out = np.zeros((self.num_classes,) + spatial, dtype=host_dtype)
         wtot = np.zeros(spatial, dtype=np.float32)
 
+        def merge(entry):
+            acc_dev, wsum_dev, valid_sl, local_valid = entry
+            # np.asarray here blocks on the device result; because the NEXT
+            # chunk's run() was already dispatched (async), its compute and
+            # this chunk's D2H overlap — the probabilities path is
+            # D2H-bound through a tunneled runtime
+            acc_np = np.asarray(acc_dev)
+            w_np = np.asarray(wsum_dev, dtype=np.float32)[..., 0]
+            out[(slice(None),) + valid_sl] += np.moveaxis(
+                acc_np[local_valid], -1, 0).astype(host_dtype)
+            wtot[valid_sl] += w_np[local_valid]
+
+        pending = None
         for combo in itertools.product(*grid):
             starts = [g[0] for g in combo]
             exts = [max(g[-1] + p - g[0], p)
@@ -515,16 +528,17 @@ class SlidingWindowEngine:
                 # path's bottleneck through a tunneled runtime, and halving
                 # the bytes halves it (logit*weight sums are O(1e3), well
                 # inside fp16 range)
-                acc_np = np.asarray(jnp.asarray(acc[sl], jnp.float16))
+                acc_dev = jnp.asarray(acc[sl], jnp.float16)
             else:
-                acc_np = np.asarray(acc[sl], dtype=np.float32)
-            w_np = np.asarray(wsum[sl], dtype=np.float32)[..., 0]
+                acc_dev = acc[sl]
             valid_sl = tuple(slice(s0, min(s0 + e, spatial[a]))
                              for a, (s0, e) in enumerate(zip(starts, exts)))
             local_valid = tuple(slice(0, v.stop - v.start) for v in valid_sl)
-            out[(slice(None),) + valid_sl] += np.moveaxis(
-                acc_np[local_valid], -1, 0).astype(host_dtype)
-            wtot[valid_sl] += w_np[local_valid]
+            if pending is not None:
+                merge(pending)
+            pending = (acc_dev, wsum[sl], valid_sl, local_valid)
+        if pending is not None:
+            merge(pending)
 
         # finalize in x-slabs so a memmap-backed `out` never fully materializes
         slab = max(1, int(np.ceil(spatial[0] / max(1, len(grid[0])))))
