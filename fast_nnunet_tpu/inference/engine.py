@@ -1055,14 +1055,17 @@ class SlidingWindowEngine:
         p0 = patch[0]
         p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
         K = self.num_classes
-        # INTERLEAVED (offset, K+1) channel groups, fp32 logits intermediate.
-        # A "block [8K | 8w]" layout with bf16 contribs looked cheaper on
-        # paper (no per-tile split/merge relayouts) but traced SLOWER on
-        # hardware in every variant tried — plain (19.9 s), g_8k barriered
-        # (22.6 s), contrib barriered (23.1 s) vs 15.9 s for this form: the
-        # accumulator RMW fusions lose ~6x bandwidth when XLA has to deal
-        # with the 8K-wide producers. Kept as the measured optimum; see
-        # docs/Performance.md round-3 iteration log.
+        # FLATTENED interleaved (offset, K+1) channel groups (one minor dim
+        # of 8(K+1) = 496 -> 512 lanes), fp32 logits intermediate. Two
+        # alternatives measured WORSE on hardware (round 3):
+        # - block [8K | 8w] bf16 layout: 19.9-23.1 s device vs 15.9 s, with
+        #   or without optimization_barriers — the RMW fusions lose ~6x
+        #   bandwidth against 8K-wide producers;
+        # - keeping the accumulator 5D (..., 8, K+1): bf16 tiles the two
+        #   minor dims to (16, 64), so 8 sublanes pad 2x and the accumulator
+        #   doubles -> OOMs HBM at 512^3 x 61.
+        # See docs/Performance.md round-3 iteration log.
+        C8 = 8 * (K + 1)
         forward = self._tile_step_fn(n_folds, s2d_output=True)
         acc_dtype = self.sweep_acc_dtype
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
@@ -1080,10 +1083,10 @@ class SlidingWindowEngine:
         x_last = starts_x[-1]
 
         def finalize_rows(acc, n_rows_h):
-            """acc (p0h, Yh, Zh, 8, K+1) -> full-res uint8 rows (2n, Y, Z).
+            """acc (p0h, Yh, Zh, 8(K+1)) -> full-res uint8 rows (2n, Y, Z).
             argmax(a / w) == argmax(a) per offset group (same positive w
             within a group); weight-0 voxels argmax to 0 = background."""
-            r = acc[:n_rows_h, ..., :K]
+            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K + 1)[..., :K]
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
             cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
             cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
@@ -1091,8 +1094,7 @@ class SlidingWindowEngine:
 
         def shift_by(acc, n_h):  # static n_h (s2d rows)
             return jnp.concatenate(
-                [acc[n_h:], jnp.zeros((n_h, *plane_h, 8, K + 1), acc_dtype)],
-                0)
+                [acc[n_h:], jnp.zeros((n_h, *plane_h, C8), acc_dtype)], 0)
 
         def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
             B = coords_b.shape[0]
@@ -1106,14 +1108,10 @@ class SlidingWindowEngine:
             for b in range(B):
                 y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
                 gw = (g_s2d * valid_b[b])[..., None]  # (p0h,pyh,pzh,8,1)
-                # the accumulator stays 5D (..., 8, K+1): the TPU tiles the
-                # two minor dims to (8, 64) — physically identical to the
-                # flattened 496-channel layout — but the contribution needs
-                # NO flatten/unflatten relayout around the RMW
                 contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
-                start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0, 0)
-                cur = jax.lax.dynamic_slice(a, start,
-                                            (p0h, pyh, pzh, 8, K + 1))
+                contrib = contrib.reshape(p0h, pyh, pzh, C8)
+                start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
+                cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
             return a
 
@@ -1121,7 +1119,7 @@ class SlidingWindowEngine:
         def sweep(stacked_params, vol, coords_yz, valid_yz):
             # valid_yz: (nb, B) shared across chunks, or (n_chunks, nb, B)
             # per-chunk when per_chunk_valid (air skipping)
-            acc0 = jnp.zeros((p0h, *plane_h, 8, K + 1), acc_dtype)
+            acc0 = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
             def accumulate(acc, x0, valid_c):
