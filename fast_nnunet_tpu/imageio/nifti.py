@@ -174,7 +174,11 @@ class NiftiIO(BaseReaderWriter):
     reversed to match — the reference's SimpleITK convention."""
     supported_file_endings = [".nii", ".nii.gz"]
 
-    def read_images(self, image_fnames: Sequence[str]) -> Tuple[np.ndarray, dict]:
+    def read_images(self, image_fnames: Sequence[str],
+                    dtype=np.float32) -> Tuple[np.ndarray, dict]:
+        """dtype=None keeps the on-disk dtype (e.g. int16 CT HU) — the turbo
+        serving path normalizes on device, so reading as float32 would only
+        quadruple host memory traffic and H2D bytes."""
         images, spacings, headers = [], [], []
         for f in image_fnames:
             data, hdr = read_nifti(f)
@@ -199,7 +203,9 @@ class NiftiIO(BaseReaderWriter):
         if not self._check_all_same(spacings):
             raise RuntimeError(f"Image channels have mismatched spacings: {spacings}")
 
-        data = np.stack(images).astype(np.float32)
+        data = np.stack(images)
+        if dtype is not None:
+            data = data.astype(dtype, copy=False)
         if data.ndim == 3:  # 2D natural case: (C, X, Y) -> fake Z
             data = data[:, None]
             spacing = [999.0] + list(spacings[0])[:2]
@@ -293,16 +299,22 @@ class NiftiIOWithReorient(NiftiIO):
     header on write — the role of the reference's NibabelIOWithReorient /
     SimpleITKIOWithReorient readers."""
 
-    def read_images(self, image_fnames: Sequence[str]) -> Tuple[np.ndarray, dict]:
+    def read_images(self, image_fnames: Sequence[str],
+                    dtype=np.float32) -> Tuple[np.ndarray, dict]:
         images, spacings, headers, ornts = [], [], [], []
         for f in image_fnames:
             data, hdr = read_nifti(f)
             if data.ndim != 3:
                 # 2D/4D: no orientation handling needed/defined; plain path
-                return NiftiIO.read_images(self, image_fnames)
+                return NiftiIO.read_images(self, image_fnames, dtype=dtype)
             ornt = io_orientation(_affine_from_header(hdr))
             ras = apply_orientation(data, ornt)
-            images.append(ras.transpose(2, 1, 0))  # internal (S, A, R)
+            # materialize NOW: np.stack over doubly-transposed (+flipped)
+            # views walks the array in the worst possible stride order
+            # (measured 33 s for one 512x512x450 CT vs 0.4 s for numpy's
+            # dedicated transpose-copy here)
+            images.append(np.ascontiguousarray(
+                ras.transpose(2, 1, 0)))  # internal (S, A, R)
             perm = [0, 0, 0]
             for j, (ax, _) in enumerate(ornt):
                 perm[ax] = j
@@ -317,7 +329,9 @@ class NiftiIOWithReorient(NiftiIO):
                                f"({image_fnames})")
         if not self._check_all_same(spacings):
             raise RuntimeError(f"Image channels have mismatched spacings: {spacings}")
-        data = np.stack(images).astype(np.float32)
+        data = np.stack(images)
+        if dtype is not None:
+            data = data.astype(dtype, copy=False)
         props = {
             "spacing": list(spacings[0]),
             "nifti_header": headers[0],

@@ -303,7 +303,9 @@ class TurboPipeline:
         contract the reference benchmarks, ref docs/Engine.md:31-33)."""
         t0 = time.perf_counter()
         rw = NiftiIOWithReorient()
-        data, props = rw.read_images([input_file])
+        # keep the on-disk dtype (int16 HU for CT): the device program casts
+        # to fp32 itself, and shipping int16 quarters host traffic + H2D
+        data, props = rw.read_images([input_file], dtype=None)
         assert data.shape[0] == 1, \
             "the turbo pipeline serves single-channel CT (the bone_turbo " \
             "deployment contract); use NNUNetPredictor for multi-modality"
