@@ -482,7 +482,16 @@ class SlidingWindowEngine:
             tight = tuple(max(s, p) for s, p in zip(spatial, self.patch_size))
             steps = compute_steps_for_sliding_window(tight, self.patch_size,
                                                      self.tile_step_size)
-        grid = self._make_chunk_grid(steps)
+        # the 1-deep fetch pipeline below keeps ONE extra chunk's outputs
+        # alive on device; plan the grid for 3 concurrent chunk buffers
+        # instead of 2 (a 4 GiB budget OOM'd HBM at bone_turbo scale without
+        # this)
+        saved_budget = self.max_accumulator_bytes
+        self.max_accumulator_bytes = int(saved_budget * 2 / 3)
+        try:
+            grid = self._make_chunk_grid(steps)
+        finally:
+            self.max_accumulator_bytes = saved_budget
 
         import os
         import tempfile
