@@ -40,16 +40,37 @@ def _parse_tuple(s: str) -> Tuple[float, ...]:
     return tuple(float(x) for x in re.split(r"[x,()\s]+", str(s).strip()) if x)
 
 
+#: device-path normalization schemes (subset of ops/normalization.py the
+#: jitted preprocess program implements; class name -> short scheme tag)
+_SCHEME_TAGS = {
+    "CTNormalization": "ct",
+    "ZScoreNormalization": "zscore",
+    "NoNormalization": "nonorm",
+    "RescaleTo01Normalization": "rescale01",
+    "RGBTo01Normalization": "rgb01",
+}
+
+
 class TurboConfig:
     """bone_turbo-style deployment point (schema parity with the reference's
-    engine INI, ref engine/config/fast_nnunet_bone_turbo.ini)."""
+    engine INI, ref engine/config/fast_nnunet_bone_turbo.ini).
+
+    Multi-channel (e.g. multi-sequence MR) inputs carry a per-channel
+    ``channels`` list of scheme dicts:
+    ``{"scheme": "ct", "mean": m, "std": s, "lower_bound": lb,
+    "upper_bound": ub}`` or ``{"scheme": "zscore" | "rescale01" | "rgb01" |
+    "nonorm"}``. ``zscore`` computes the volume's own statistics ON DEVICE
+    (whole-volume stats: the turbo path does not run the nonzero crop, so
+    ``use_mask_for_norm`` is approximated by whole-volume z-scoring — the
+    parity-exact path is the Python predictor)."""
 
     def __init__(self, patch_size: Sequence[int],
                  target_spacing: Sequence[float],
-                 mean: float, std: float,
-                 lower_bound: float, upper_bound: float,
-                 num_classes: int,
-                 step_size: float = 0.5, use_gaussian: bool = True):
+                 mean: float = 0.0, std: float = 1.0,
+                 lower_bound: float = -1024.0, upper_bound: float = 3071.0,
+                 num_classes: int = 2,
+                 step_size: float = 0.5, use_gaussian: bool = True,
+                 channels: Optional[Sequence[dict]] = None):
         # INI order is (depth, height, width) = image axis order; the engine's
         # chunk axis (axis 0) must carry the SMALLEST patch extent so rolling
         # chunks fit HBM -> transpose so the 160-extent axis is last
@@ -72,6 +93,18 @@ class TurboConfig:
         self.num_classes = int(num_classes)
         self.step_size = float(step_size)
         self.use_gaussian = bool(use_gaussian)
+        if channels is None:
+            channels = [{"scheme": "ct", "mean": self.mean, "std": self.std,
+                         "lower_bound": self.lower_bound,
+                         "upper_bound": self.upper_bound}]
+        self.channels = [dict(c) for c in channels]
+        for c in self.channels:
+            assert c.get("scheme") in ("ct", "zscore", "rescale01", "rgb01",
+                                       "nonorm"), c
+
+    @property
+    def num_input_channels(self) -> int:
+        return len(self.channels)
 
     @classmethod
     def from_ini(cls, path: str) -> "TurboConfig":
@@ -100,12 +133,21 @@ class TurboPipeline:
         lower_bound + air_margin_hu (pre-normalization HU)."""
         self.engine = engine
         self.config = config
+        ch0 = config.channels[0]
+        if air_skip and ch0["scheme"] != "ct":
+            print("[turbo] air skipping needs a CT (HU-calibrated) channel 0; "
+                  f"disabled for scheme {ch0['scheme']!r}")
+            air_skip = False
         self.air_skip = bool(air_skip)
         # threshold in NORMALIZED units (the device program sees normalized
-        # data): clip floor maps to (lower-mean)/std
-        self.air_threshold = (min(config.lower_bound + air_margin_hu,
-                                  config.upper_bound)
-                              - config.mean) / config.std
+        # data): clip floor maps to (lower-mean)/std; skip decisions read
+        # channel 0 only (the HU channel)
+        if ch0["scheme"] == "ct":
+            self.air_threshold = (min(ch0["lower_bound"] + air_margin_hu,
+                                      ch0["upper_bound"])
+                                  - ch0["mean"]) / ch0["std"]
+        else:
+            self.air_threshold = float("-inf")
         self._jit_cache = {}
 
     # ------------------------------------------------------------- device program
@@ -116,7 +158,13 @@ class TurboPipeline:
         runtime costs seconds, so the former three-dispatch design
         (preprocess / sweep / revert with a block-max D2H in between) is
         fused into a single device call per CT. Returns
-        (fn(stacked_params, raw) -> seg(in_shape) uint8, coords_b, valid_b)."""
+        (fn(stacked_params, raw) -> seg(in_shape) uint8, coords_b, valid_b).
+
+        raw is (C, *in_shape); each channel normalizes per its
+        ``TurboConfig.channels`` scheme on device (CT clip+zscore with plan
+        statistics, per-volume z-score with device-computed statistics,
+        rescale-to-01, rgb/255, or none — ref
+        distillation/nnunetv2/preprocessing/normalization/default_normalization_schemes.py:27-97)."""
         key = ("full", in_shape, new_shape, vol_shape, n_folds,
                self.air_skip, round(float(self.air_threshold), 6))
         if key in self._jit_cache:
@@ -137,11 +185,35 @@ class TurboPipeline:
         coords_b, valid_b = eng._batched_coords(coords_full)
         nb, B = valid_b.shape
         n_chunks = len(starts_x)
+        n_ch = cfg.num_input_channels
         builder = eng._build_sweep_runner_s2d_skip if self.air_skip \
             else eng._build_sweep_runner_s2d
-        sweep = builder(vol_shape, starts_x, nb, n_folds, 1)
+        sweep = builder(vol_shape, starts_x, nb, n_folds, n_ch)
 
-        fill = (cfg.lower_bound - cfg.mean) / cfg.std
+        def _normalize(xc, spec):
+            # one channel, fp32; mirrors ops/normalization.py on device
+            s = spec["scheme"]
+            if s == "ct":
+                xc = jnp.clip(xc, spec["lower_bound"], spec["upper_bound"])
+                return (xc - spec["mean"]) / max(spec["std"], 1e-8)
+            if s == "zscore":
+                return (xc - xc.mean()) / jnp.maximum(xc.std(), 1e-8)
+            if s == "rescale01":
+                xc = xc - xc.min()
+                return xc / jnp.clip(xc.max(), 1e-8)
+            if s == "rgb01":
+                return xc / 255.0
+            return xc  # nonorm
+
+        def _fill(spec):
+            # sweep-pad value in normalized units: the HU clip floor for CT
+            # (air), 0 (≈ the background level) for the statistic-based schemes
+            if spec["scheme"] == "ct":
+                return (spec["lower_bound"] - spec["mean"]) / max(
+                    spec["std"], 1e-8)
+            return 0.0
+
+        fill = _fill(cfg.channels[0])
         pad = [(0, v - n) for v, n in zip(vol_shape, new_shape)]
         thr = float(self.air_threshold)
         compute_dtype = eng.compute_dtype
@@ -157,12 +229,18 @@ class TurboPipeline:
 
         @jax.jit
         def full(stacked_params, raw, coords_b_d, valid_b_d):
-            x = raw.astype(jnp.float32)
-            x = jnp.clip(x, cfg.lower_bound, cfg.upper_bound)
-            x = (x - cfg.mean) / cfg.std
-            x = jax.image.resize(x, new_shape, method="trilinear",
-                                 antialias=False).astype(compute_dtype)
-            xp = jnp.pad(x, pad, constant_values=fill)[..., None]
+            # raw: (C, *in_shape) in the on-disk dtype
+            chans = [_normalize(raw[c].astype(jnp.float32), cfg.channels[c])
+                     for c in range(n_ch)]
+            # one batched trilinear resize over all channels
+            xs = jax.image.resize(jnp.stack(chans), (n_ch, *new_shape),
+                                  method="trilinear",
+                                  antialias=False).astype(compute_dtype)
+            x = xs[0]  # channel 0 drives air skipping
+            xp = jnp.stack(
+                [jnp.pad(xs[c], pad,
+                         constant_values=_fill(cfg.channels[c]))
+                 for c in range(n_ch)], axis=-1)
 
             if self.air_skip:
                 # 8^3 block maxima over the air-padded resampled volume, then
@@ -195,17 +273,24 @@ class TurboPipeline:
     # ------------------------------------------------------------------ prediction
     def predict_volume(self, params_list, volume: np.ndarray,
                        spacing: Sequence[float]) -> np.ndarray:
-        """(D, H, W) raw HU volume in image axis order + its spacing ->
-        uint8 segmentation on the ORIGINAL grid. ONE device call."""
+        """(D, H, W) — or (C, D, H, W) multi-channel — raw volume in image
+        axis order + its spacing -> uint8 segmentation on the ORIGINAL grid.
+        ONE device call."""
         import jax
         import jax.numpy as jnp
         cfg = self.config
         eng = self.engine
 
-        vol_t = np.transpose(volume, cfg.transpose_forward)
+        if volume.ndim == len(cfg.patch_size):
+            volume = volume[None]
+        assert volume.shape[0] == cfg.num_input_channels, \
+            (f"{volume.shape[0]} input channels but TurboConfig declares "
+             f"{cfg.num_input_channels} normalization schemes")
+        vol_t = np.transpose(volume,
+                             [0] + [a + 1 for a in cfg.transpose_forward])
         spacing_t = [float(spacing[a]) for a in cfg.transpose_forward]
         new_shape = tuple(int(round(s * sp / tsp)) for s, sp, tsp in zip(
-            vol_t.shape, spacing_t, cfg.target_spacing))
+            vol_t.shape[1:], spacing_t, cfg.target_spacing))
         new_shape = tuple(max(n, p) for n, p in zip(new_shape, eng.patch_size))
         vol_shape, _ = eng.s2d_sweep_plan(new_shape)
 
@@ -214,7 +299,7 @@ class TurboPipeline:
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                          *params_list)
         full, coords_b, valid_b = self._full_program(
-            vol_t.shape, new_shape, vol_shape, len(params_list))
+            vol_t.shape[1:], new_shape, vol_shape, len(params_list))
         seg = np.asarray(full(stacked, jnp.asarray(np.ascontiguousarray(vol_t)),
                               coords_b, valid_b))
         return np.transpose(seg, cfg.transpose_backward)
@@ -273,15 +358,29 @@ class TurboPipeline:
         params = s2d.convert_params(params)
 
         schemes = cfg.normalization_schemes
-        if not any("CT" in s for s in schemes):
-            print(f"[turbo] warning: normalization {schemes} approximated by "
-                  f"clip+zscore on the device path")
-        ip = pm.foreground_intensity_properties_per_channel["0"]
+        if num_in != len(schemes):
+            raise ValueError(
+                f"turbo serves plain multi-channel input ({len(schemes)} "
+                f"image channels) but the model wants {num_in} input "
+                f"channels (cascade prev-stage one-hot?); use NNUNetPredictor")
+        channels = []
+        for c, scheme in enumerate(schemes):
+            tag = _SCHEME_TAGS.get(scheme, "zscore")
+            spec = {"scheme": tag}
+            if tag == "ct":
+                ip = pm.foreground_intensity_properties_per_channel[str(c)]
+                spec.update(mean=ip["mean"], std=ip["std"],
+                            lower_bound=ip["percentile_00_5"],
+                            upper_bound=ip["percentile_99_5"])
+            channels.append(spec)
         config = TurboConfig(
             patch_size=patch, target_spacing=cfg.spacing,
-            mean=ip["mean"], std=ip["std"],
-            lower_bound=ip["percentile_00_5"],
-            upper_bound=ip["percentile_99_5"], num_classes=num_out)
+            num_classes=num_out, channels=channels)
+        if channels[0]["scheme"] == "ct":
+            ip0 = channels[0]
+            config.mean, config.std = ip0["mean"], ip0["std"]
+            config.lower_bound = ip0["lower_bound"]
+            config.upper_bound = ip0["upper_bound"]
         # plans patch/spacing are already in the engine's (transposed) data
         # order — don't re-transpose
         config.transpose_forward = list(range(len(patch)))
@@ -297,20 +396,20 @@ class TurboPipeline:
             tile_batch=tile_batch, use_s2d_sweep=True)
         return cls(engine, config, air_skip=air_skip), params
 
-    def predict_file(self, params_list, input_file: str,
+    def predict_file(self, params_list, input_file,
                      output_file: str) -> dict:
         """read -> predict -> write; returns a timing breakdown (the e2e
-        contract the reference benchmarks, ref docs/Engine.md:31-33)."""
+        contract the reference benchmarks, ref docs/Engine.md:31-33).
+        input_file: one path, or a list of per-channel paths (nnU-Net
+        _0000/_0001/... convention) for multi-channel models."""
         t0 = time.perf_counter()
         rw = NiftiIOWithReorient()
+        files = [input_file] if isinstance(input_file, str) else list(input_file)
         # keep the on-disk dtype (int16 HU for CT): the device program casts
         # to fp32 itself, and shipping int16 quarters host traffic + H2D
-        data, props = rw.read_images([input_file], dtype=None)
-        assert data.shape[0] == 1, \
-            "the turbo pipeline serves single-channel CT (the bone_turbo " \
-            "deployment contract); use NNUNetPredictor for multi-modality"
+        data, props = rw.read_images(files, dtype=None)
         t_read = time.perf_counter()
-        seg = self.predict_volume(params_list, data[0], props["spacing"])
+        seg = self.predict_volume(params_list, data, props["spacing"])
         t_pred = time.perf_counter()
         rw.write_seg(seg, output_file, props)
         t_write = time.perf_counter()
@@ -349,10 +448,26 @@ def turbo_predict_entry():
     if os.path.isdir(args.i):
         os.makedirs(args.o, exist_ok=True)
         from ..utils.io import subfiles
-        for name in subfiles(args.i, suffix=".nii.gz", join_path=False):
-            stats = pipe.predict_file(params, os.path.join(args.i, name),
-                                      os.path.join(args.o, name))
-            print(name, stats)
+        names = subfiles(args.i, suffix=".nii.gz", join_path=False)
+        n_ch = pipe.config.num_input_channels
+        if n_ch > 1:
+            # nnU-Net folder convention: case_0000.nii.gz .. case_000{C-1}
+            cases = {}
+            for name in names:
+                case = re.sub(r"_\d{4}\.nii\.gz$", "", name)
+                cases.setdefault(case, []).append(name)
+            for case, files in sorted(cases.items()):
+                assert len(files) == n_ch, \
+                    f"{case}: {len(files)} channel files, model wants {n_ch}"
+                stats = pipe.predict_file(
+                    params, [os.path.join(args.i, f) for f in sorted(files)],
+                    os.path.join(args.o, case + ".nii.gz"))
+                print(case, stats)
+        else:
+            for name in names:
+                stats = pipe.predict_file(params, os.path.join(args.i, name),
+                                          os.path.join(args.o, name))
+                print(name, stats)
     else:
         stats = pipe.predict_file(params, args.i, args.o)
         print(stats)

@@ -197,3 +197,95 @@ def test_turbo_fold_ensemble(turbo_setup):
                  cfg.upper_bound) - cfg.mean) / cfg.std)[None].astype(
                      np.float32))
     assert res.shape == tuple(np.array(vol.shape)[cfg.transpose_forward])
+
+
+# ------------------------------------------------------------- multi-channel
+def test_turbo_multichannel_mr(tmp_path):
+    """Multi-channel (MR-style) device normalization: a [ct, zscore] config
+    on raw data must match a [nonorm, nonorm] config fed the host-normalized
+    channels (same formulas as ops/normalization.py), proving the per-channel
+    device path end-to-end. Air skipping auto-disables for non-CT channel 0."""
+    patch_engine = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", ARCH, (), 2, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, *patch_engine, 2)),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, ARCH, K, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+    eng = SlidingWindowEngine(s2d, patch_engine, K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32, tile_batch=2,
+                              use_s2d_sweep=True)
+    ct = {"scheme": "ct", "mean": 40.0, "std": 100.0,
+          "lower_bound": -60.0, "upper_bound": 400.0}
+    cfg = TurboConfig(patch_size=(16, 8, 8), target_spacing=(1.0, 1.2, 1.1),
+                      num_classes=K, channels=[ct, {"scheme": "zscore"}])
+    assert cfg.num_input_channels == 2
+
+    rng = np.random.RandomState(11)
+    raw = np.stack([
+        rng.rand(30, 26, 22).astype(np.float32) * 1400 - 1000,   # HU-like
+        rng.rand(30, 26, 22).astype(np.float32) * 900 + 50,      # MR-like
+    ])
+    spacing = (1.0, 1.0, 1.5)
+    seg = TurboPipeline(eng, cfg).predict_volume(sp, raw, spacing)
+    assert seg.shape == raw.shape[1:] and seg.dtype == np.uint8
+
+    ch0 = (np.clip(raw[0], ct["lower_bound"], ct["upper_bound"])
+           - ct["mean"]) / ct["std"]
+    ch1 = (raw[1] - raw[1].mean()) / max(raw[1].std(), 1e-8)
+    cfg_pre = TurboConfig(patch_size=(16, 8, 8),
+                          target_spacing=(1.0, 1.2, 1.1), num_classes=K,
+                          channels=[{"scheme": "nonorm"}] * 2)
+    seg_pre = TurboPipeline(eng, cfg_pre).predict_volume(
+        sp, np.stack([ch0, ch1]), spacing)
+    agree = (seg == seg_pre).mean()
+    assert agree > 0.995, f"device vs host normalization agreement: {agree}"
+
+
+def test_turbo_multichannel_air_skip_gating(capsys):
+    patch_engine = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", ARCH, (), 1, K,
+                                 dtype=jnp.float32)
+    s2d = make_s2d_engine_net(net, ARCH, K, dtype=jnp.float32)
+    eng = SlidingWindowEngine(s2d, patch_engine, K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32, tile_batch=2,
+                              use_s2d_sweep=True)
+    cfg = TurboConfig(patch_size=(16, 8, 8), target_spacing=(1.0, 1.0, 1.0),
+                      num_classes=K, channels=[{"scheme": "zscore"}])
+    pipe = TurboPipeline(eng, cfg, air_skip=True)
+    assert pipe.air_skip is False  # auto-disabled: no HU calibration
+
+
+def test_turbo_multichannel_predict_file(tmp_path):
+    """Per-channel file list (nnU-Net _0000/_0001 convention) reads and
+    segments through the fused program."""
+    from fast_nnunet_tpu.imageio.nifti import read_nifti, write_nifti
+    patch_engine = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", ARCH, (), 2, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(2),
+                      jnp.zeros((1, *patch_engine, 2)),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, ARCH, K, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+    eng = SlidingWindowEngine(s2d, patch_engine, K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32, tile_batch=2,
+                              use_s2d_sweep=True)
+    cfg = TurboConfig(patch_size=(16, 8, 8), target_spacing=(1.0, 1.0, 1.0),
+                      num_classes=K,
+                      channels=[{"scheme": "zscore"}, {"scheme": "zscore"}])
+    rng = np.random.RandomState(3)
+    f0, f1 = str(tmp_path / "c_0000.nii.gz"), str(tmp_path / "c_0001.nii.gz")
+    write_nifti(f0, (rng.rand(24, 22, 20) * 500).astype(np.float32),
+                spacing=(1.0, 1.0, 1.0))
+    write_nifti(f1, (rng.rand(24, 22, 20) * 300).astype(np.float32),
+                spacing=(1.0, 1.0, 1.0))
+    f_out = str(tmp_path / "seg.nii.gz")
+    stats = TurboPipeline(eng, cfg).predict_file(sp, [f0, f1], f_out)
+    assert stats["seconds_total"] > 0
+    seg, _ = read_nifti(f_out)
+    assert seg.shape == (24, 22, 20)
