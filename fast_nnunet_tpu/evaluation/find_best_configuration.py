@@ -243,6 +243,8 @@ def find_best_configuration(dataset_name_or_id,
               "fast_nnunet_tpu.postprocessing.apply_postprocessing_to_folder")
     write_markdown_report(result, commands,
                           join(grf(), dataset_name, "inference_report.md"))
+    write_html_report(result, commands,
+                      join(grf(), dataset_name, "inference_report.html"))
     return result
 
 
@@ -283,6 +285,51 @@ def write_markdown_report(result: dict, commands, path: str) -> None:
     ]
     with open(path, "w") as f:
         f.write("\n".join(lines))
+
+
+def write_html_report(result: dict, commands, path: str) -> None:
+    """Standalone HTML companion of the markdown report (openable without a
+    markdown viewer; candidate Dice rendered as proportional bars)."""
+    import html as _html
+    best = result["best_model_or_ensemble"]
+    cands = sorted(result["considered_manually"].items(),
+                   key=lambda kv: -kv[1])
+    vmax = max((v for _, v in cands), default=1.0) or 1.0
+    rows = []
+    for k, v in cands:
+        star = " &#9733;" if k == best["identifier"] else ""
+        w = int(100 * v / vmax)
+        rows.append(
+            f"<tr><td><code>{_html.escape(k)}</code>{star}</td>"
+            f"<td style='text-align:right'>{v:.4f}</td>"
+            f"<td><div style='background:#4a7bd0;height:0.8em;"
+            f"width:{w}%'></div></td></tr>")
+    cmds = "\n".join(_html.escape(c) for c in commands)
+    doc = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>Best configuration — {_html.escape(str(result['dataset_name_or_id']))}</title>
+<style>body{{font:14px/1.5 system-ui,sans-serif;max-width:60em;margin:2em auto;
+padding:0 1em;color:#222}}table{{border-collapse:collapse;width:100%}}
+td,th{{padding:0.3em 0.6em;border-bottom:1px solid #ddd}}
+pre{{background:#f6f6f6;padding:1em;overflow-x:auto}}
+code{{background:#f0f0f0;padding:0 0.2em}}</style></head><body>
+<h1>Best configuration — {_html.escape(str(result['dataset_name_or_id']))}</h1>
+<p>Folds considered: {', '.join(str(f) for f in result['folds'])}</p>
+<h2>Candidates (mean foreground Dice, cross-validation)</h2>
+<table><tr><th>configuration</th><th>mean fg Dice</th><th></th></tr>
+{''.join(rows)}</table>
+<h2>Selected</h2>
+<ul>
+<li>identifier: <code>{_html.escape(best['identifier'])}</code>
+ ({_html.escape(best['source'])})</li>
+<li>mean fg Dice: {best['mean_fg_dice']:.4f}</li>
+<li>postprocessing: {_html.escape(str(best['postprocessing_fns'] or 'none'))}</li>
+<li>mean fg Dice after postprocessing: {best['mean_fg_dice_after_pp']:.4f}</li>
+</ul>
+<h2>How to run inference</h2>
+<pre>{cmds}</pre>
+</body></html>"""
+    with open(path, "w") as f:
+        f.write(doc)
 
 
 def find_best_configuration_entry():

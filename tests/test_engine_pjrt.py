@@ -116,6 +116,7 @@ def test_pjrt_backend_matches_python_predictor(built_engine, shim, tmp_path):
     assert agreement > 0.995, f"only {agreement:.4f} voxel agreement"
 
 
+@pytest.mark.slow
 def test_pjrt_backend_tile_batching(built_engine, shim, tmp_path):
     """tile_batch=2 in the INI with a -b 2 artifact: batched device calls
     (last batch padded by repeating a tile) must give the same mask as the
@@ -185,6 +186,7 @@ def test_pjrt_backend_missing_plugin_errors_cleanly(built_engine, tmp_path):
     assert "dlopen" in r.stderr
 
 
+@pytest.mark.slow
 def test_pjrt_backend_golden_checkpoint(built_engine, shim, tmp_path):
     """The C++ PJRT engine must reproduce the Python engine's mask on the
     committed TRAINED golden checkpoint (tests/fixtures/golden_ckpt) — the
@@ -262,6 +264,7 @@ def test_pjrt_backend_golden_checkpoint(built_engine, shim, tmp_path):
     assert len(np.unique(mask)) >= 3, "trained golden net must segment"
 
 
+@pytest.mark.slow
 def test_pjrt_backend_air_skip(built_engine, shim, tmp_path):
     """skip_air_tiles=true drops all-air tiles: air-only corners come out
     background, the body region matches the unskipped run."""

@@ -111,3 +111,28 @@ def test_markdown_report(tmp_path):
     assert "nnUNetv2_predict -i IN -o OUT" in text
     # best row sorts first
     assert text.index("ensemble_x") < text.index("3d_fullres")
+
+
+def test_html_report(tmp_path):
+    from fast_nnunet_tpu.evaluation.find_best_configuration import \
+        write_html_report
+    result = {
+        "dataset_name_or_id": "Dataset001_Test",
+        "folds": [0, 1],
+        "considered_manually": {"3d_fullres": 0.81, "2d": 0.74,
+                                "ensemble_x": 0.83},
+        "best_model_or_ensemble": {
+            "identifier": "ensemble_x", "source": "ensemble",
+            "mean_fg_dice": 0.83, "postprocessing_fns": [],
+            "mean_fg_dice_after_pp": 0.835,
+        },
+    }
+    path = str(tmp_path / "report.html")
+    write_html_report(result, ["nnUNetv2_predict -i IN -o OUT <X>"], path)
+    text = open(path).read()
+    assert text.startswith("<!doctype html>")
+    assert "ensemble_x" in text and "0.8350" in text
+    assert "&lt;X&gt;" in text  # command is escaped
+    # best row sorts first and carries the star marker
+    assert text.index("ensemble_x") < text.index("3d_fullres")
+    assert "&#9733;" in text

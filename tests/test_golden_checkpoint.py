@@ -82,6 +82,7 @@ def test_engine_sweep_reproduces_golden_mask(predictor, expected_mask):
                                   expected_mask)
 
 
+@pytest.mark.slow
 def test_artifact_path_reproduces_golden_mask(tmp_path, expected_mask):
     """Export the golden checkpoint to a StableHLO artifact (f32, B=8 default)
     and serve it through FastnnUNetInferencer: same mask, bit for bit."""

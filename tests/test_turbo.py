@@ -106,6 +106,7 @@ def test_turbo_matches_host_path(turbo_setup):
     assert agree > 0.97, f"turbo/host path agreement too low: {agree}"
 
 
+@pytest.mark.slow
 def test_turbo_air_skip(turbo_setup):
     eng, cfg, sp, net, params = turbo_setup
     rng = np.random.RandomState(7)
@@ -175,6 +176,7 @@ def test_turbo_from_model_folder(tmp_path):
     assert agree > 0.95, f"turbo vs golden mask agreement: {agree}"
 
 
+@pytest.mark.slow
 def test_turbo_fold_ensemble(turbo_setup):
     """Two-fold ensemble through the fused program: runs and differs from
     single-fold only where the folds disagree."""
