@@ -160,17 +160,26 @@ class SlidingWindowEngine:
         return jnp.asarray(g)
 
     # ------------------------------------------------------------------ jitted core
-    def _tile_step_fn(self, n_folds: int, s2d_output: bool = False):
+    def _tile_step_fn(self, n_folds: int, s2d_output: bool = False,
+                      s2d_features: bool = False):
         network = self.network
         combos = _flip_combos(self.mirror_axes)
         inv_n = 1.0 / len(combos)
         if s2d_output:
             assert len(combos) == 1, \
                 "s2d-output forward does not support mirror-TTA"
+        if s2d_features:
+            assert s2d_output and n_folds == 1, \
+                "features contract is single-fold (fold heads differ)"
 
         def forward_one(params, x):
             """x: (B, *patch, C) -> fp32 logits (B, *patch, K), TTA-averaged.
-            (s2d_output: (B, *patch/2, 8K) half-res offset-major logits.)"""
+            (s2d_output: (B, *patch/2, 8K) half-res offset-major logits;
+            s2d_features: (B, *patch/2, 8F) bf16 pre-seg-head activations —
+            the caller applies network.seg_head_apply per tile.)"""
+            if s2d_features:
+                return network.apply(params, x, deep_supervision=False,
+                                     s2d_output=True, return_features=True)
             if s2d_output:
                 # fp32 on purpose: a bf16-end-to-end contrib path measured
                 # SLOWER on hardware (device 15.9 -> 19.9+ s traced — XLA's
@@ -1049,10 +1058,12 @@ class SlidingWindowEngine:
         """Single-jit rolling sweep with accumulation in the SPACE-TO-DEPTH
         domain. The S2D network's seg head already produces half-res
         offset-major logits (B, p0/2, py/2, pz/2, 8K); accumulating in that
-        layout makes the fused accumulator (..., 8(K+1)) = 496 channels for bone_turbo — lane-padded 496->512 (1.03x) instead of the full-res
-        62->128 (2.1x). Halves accumulator HBM + RMW traffic on top of the
-        s2d conv win. Finalize is argmax within each offset group then a
-        cheap uint8 depth_to_space per chunk. Requires even tile starts
+        layout makes the accumulator (..., 8K) = 488 channels for bone_turbo
+        — lane-padded 488->512 (1.05x) instead of the full-res 62->128
+        (2.1x). Halves accumulator HBM + RMW traffic on top of the s2d conv
+        win. Finalize is argmax within each offset group then a cheap uint8
+        depth_to_space per chunk (argmax never reads gaussian weights, so
+        none are accumulated). Requires even tile starts
         (see _even_floor_steps) and no mirror-TTA (bone_turbo runs
         mirroring off; ref engine/config/fast_nnunet_bone_turbo.ini)."""
         key = ("sweep_s2d", vol_shape, starts_x, n_batches, n_folds,
@@ -1074,8 +1085,21 @@ class SlidingWindowEngine:
         #   minor dims to (16, 64), so 8 sublanes pad 2x and the accumulator
         #   doubles -> OOMs HBM at 512^3 x 61.
         # See docs/Performance.md round-3 iteration log.
-        C8 = 8 * (K + 1)
-        forward = self._tile_step_fn(n_folds, s2d_output=True)
+        # Round-3 follow-up: the weight channels were dropped entirely —
+        # finalize is a pure per-offset-group argmax, which never read them,
+        # and removing the concat kills a per-tile contrib materialization.
+        C8 = 8 * K
+        # single fold (the serving hot path): the forward returns bf16
+        # pre-seg-head features and the 1^3 head runs PER TILE inside the
+        # accumulate loop — the batched (B, ..., 8K) fp32 logits tensor
+        # (2.9 GB at bone_turbo scale) otherwise forces XLA to remat the
+        # head matmul once per tile slice (traced +2.6 s, round 3).
+        # Fold ensembles need per-fold heads summed, so they keep the
+        # batched fold-averaged logits contract.
+        use_features = n_folds == 1
+        network = self.network
+        forward = self._tile_step_fn(n_folds, s2d_output=True,
+                                     s2d_features=use_features)
         acc_dtype = self.sweep_acc_dtype
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
         g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
@@ -1092,10 +1116,11 @@ class SlidingWindowEngine:
         x_last = starts_x[-1]
 
         def finalize_rows(acc, n_rows_h):
-            """acc (p0h, Yh, Zh, 8(K+1)) -> full-res uint8 rows (2n, Y, Z).
+            """acc (p0h, Yh, Zh, 8K) -> full-res uint8 rows (2n, Y, Z).
             argmax(a / w) == argmax(a) per offset group (same positive w
-            within a group); weight-0 voxels argmax to 0 = background."""
-            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K + 1)[..., :K]
+            within a group), so no weight channels are accumulated at all;
+            weight-0 voxels argmax to 0 = background."""
+            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K)
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
             cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
             cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
@@ -1113,12 +1138,19 @@ class SlidingWindowEngine:
                 patches.append(jax.lax.dynamic_slice(
                     vol, start, patch + (in_channels,)))
             x = jnp.stack(patches).astype(self.compute_dtype)
-            logits8 = forward(stacked_params, x)  # (B, p0h, pyh, pzh, 8K) fp32
+            out = forward(stacked_params, x)  # (B,...,8F) bf16 | (B,...,8K) fp32
+            if use_features:
+                single = jax.tree_util.tree_map(lambda a: a[0], stacked_params)
             for b in range(B):
-                y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
+                if use_features:
+                    y = network.seg_head_apply(single, out[b]).astype(
+                        jnp.float32)
+                else:
+                    y = out[b]
+                y = y.reshape(p0h, pyh, pzh, 8, K)
                 gw = (g_s2d * valid_b[b])[..., None]  # (p0h,pyh,pzh,8,1)
-                contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
-                contrib = contrib.reshape(p0h, pyh, pzh, C8)
+                contrib = (y * gw).astype(acc_dtype).reshape(
+                    p0h, pyh, pzh, C8)
                 start = (0, coords_b[b][1] // 2, coords_b[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)

@@ -188,7 +188,7 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
     p0 = patch[0]
     p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
     K = engine.num_classes
-    C8 = 8 * (K + 1)  # interleaved (offset, K+1) groups — measured optimum
+    C8 = 8 * K  # offset-major logits only; finalize never reads weights
 
     x_tight = _round_up(max(spatial[0], p0), 2)
     tight_rest = tuple(_round_up(max(s, p), 2)
@@ -241,7 +241,10 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
     g = engine._gaussian_for(acc_dtype)
     g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
         0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
-    forward = engine._tile_step_fn(n_folds, s2d_output=True)
+    use_features = n_folds == 1  # same contract as the single-chip sweep
+    network = engine.network
+    forward = engine._tile_step_fn(n_folds, s2d_output=True,
+                                   s2d_features=use_features)
     compute_dtype = engine.compute_dtype
 
     perm_right = [(i, (i + 1) % D) for i in range(D)]
@@ -258,12 +261,16 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
                 vol_local, (cb[b][0], cb[b][1], cb[b][2], 0),
                 patch + (in_channels,)) for b in range(B)]
             x = jnp.stack(patches).astype(compute_dtype)
-            logits8 = forward(params, x)  # fp32
+            out = forward(params, x)
+            if use_features:
+                single = jax.tree_util.tree_map(lambda a: a[0], params)
             for b in range(B):
-                y = logits8[b].reshape(p0h, pyh, pzh, 8, K)
+                y = (network.seg_head_apply(single, out[b]).astype(jnp.float32)
+                     if use_features else out[b])
+                y = y.reshape(p0h, pyh, pzh, 8, K)
                 gw = (g_s2d * vb[b])[..., None]
-                contrib = jnp.concatenate([y * gw, gw], -1).astype(acc_dtype)
-                contrib = contrib.reshape(p0h, pyh, pzh, C8)
+                contrib = (y * gw).astype(acc_dtype).reshape(
+                    p0h, pyh, pzh, C8)
                 start = (cb[b][0] // 2, cb[b][1] // 2, cb[b][2] // 2, 0)
                 cur = jax.lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
@@ -278,7 +285,7 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
             acc = acc.at[owned_h:].set(0)
             acc = acc.at[:halo_h].add(tail * keep)
 
-        r = acc[:owned_h].reshape(owned_h, *plane_h, 8, K + 1)[..., :K]
+        r = acc[:owned_h].reshape(owned_h, *plane_h, 8, K)
         cls8 = r.argmax(-1).astype(jnp.uint8)
         cls8 = cls8.reshape(owned_h, *plane_h, 2, 2, 2).transpose(
             0, 3, 1, 4, 2, 5)

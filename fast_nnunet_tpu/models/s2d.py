@@ -107,6 +107,23 @@ def tile_bias(b: np.ndarray) -> np.ndarray:
     return np.tile(np.asarray(b), 8)
 
 
+def expand_seg_head(W: np.ndarray) -> np.ndarray:
+    """(1,1,1,F,K) 1^3 seg head -> block-diagonal (8F, 8K) matmul applied to
+    the flat offset-major activations. Measured on hardware (round 3): the
+    grouped form `x.reshape(..., 8, F) @ W` makes XLA lay the result out with
+    K (61 -> 128 lanes, 2.1x pad) minor and then pay a whole-tensor layout
+    copy + per-tile slice fusions (~2.5 s of the 15.9 s sweep device time);
+    the dense block-diagonal matmul emits the flat (…, 8K) layout the
+    accumulator wants directly. The extra structural-zero MACs are free —
+    convolutions are 0.3% of sweep device time."""
+    W = np.asarray(W)
+    F, K = W.shape[3], W.shape[4]
+    out = np.zeros((8 * F, 8 * K), W.dtype)
+    for o in range(8):
+        out[o * F:(o + 1) * F, o * K:(o + 1) * K] = W[0, 0, 0]
+    return out
+
+
 # ------------------------------------------------------------------ forward ops
 def _conv(x: Array, kernel: Array, bias: Optional[Array], strides, padding,
           dtype) -> Array:
@@ -137,15 +154,37 @@ def _instance_norm(x: Array, scale: Array, bias: Array, eps: float,
     B = x.shape[0]
     c8 = x.shape[-1]
     c = c8 // groups
-    x32 = x.astype(jnp.float32).reshape(B, -1, groups, c)
-    # measured on hardware (round 3): the E[x]/E[x^2] single-pass variant
-    # did NOT fuse into one read on this XLA version and profiled slower
-    # (reduce fusions 1.9 -> 3.8 s) — keep mean/var
-    mean = x32.mean(axis=(1, 2), keepdims=True)
-    var = x32.var(axis=(1, 2), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale + bias
-    return y.reshape(x.shape).astype(orig)
+    if groups == 1:
+        x32 = x.astype(jnp.float32).reshape(B, -1, groups, c)
+        # measured on hardware (round 3): the E[x]/E[x^2] single-pass variant
+        # did NOT fuse into one read on this XLA version and profiled slower
+        # (reduce fusions 1.9 -> 3.8 s) — keep mean/var
+        mean = x32.mean(axis=(1, 2), keepdims=True)
+        var = x32.var(axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        y = y * scale + bias
+        return y.reshape(x.shape).astype(orig)
+    # grouped stats in the NATIVE (..., groups*c) layout: per-channel spatial
+    # reductions (which XLA fuses into the producing conv) pooled over the
+    # offset axis on (B, C)-sized scalars. The former (B, S, groups, c)
+    # reshape split the channel dim below lane width and forced a whole-
+    # activation fp32 relayout copy per norm (traced ~0.2 s each, round 3).
+    # Pooling identities: E over (S x G) = mean over G of per-channel means;
+    # Var = E_g[var_c + mean_c^2] - mean_g^2.
+    x32 = x.astype(jnp.float32)
+    red = tuple(range(1, x.ndim - 1))
+    mean_c = x32.mean(red)                                    # (B, G*c)
+    var_c = x32.var(red)                                      # (B, G*c)
+    mean_g = mean_c.reshape(B, groups, c).mean(1)             # (B, c)
+    var_g = ((var_c + mean_c * mean_c).reshape(B, groups, c).mean(1)
+             - mean_g * mean_g)
+    shape = (B,) + (1,) * (x.ndim - 2) + (c8,)
+    m = jnp.tile(mean_g, (1, groups)).reshape(shape)
+    r = jnp.tile(jax.lax.rsqrt(var_g + eps), (1, groups)).reshape(shape)
+    y = (x32 - m) * r
+    y = y * jnp.tile(jnp.asarray(scale), groups) \
+        + jnp.tile(jnp.asarray(bias), groups)
+    return y.astype(orig)
 
 
 def _lrelu(x: Array, slope: float) -> Array:
@@ -222,6 +261,11 @@ class S2DPlainConvUNet:
                 val = {f"block_{i}": self._convert_block(
                     val[f"block_{i}"], expand_kernel_stride1, tile=True)
                     for i in range(self.n_conv_dec[last])}
+            elif name == f"seg_head_{last}":
+                val = dict(val)
+                val["kernel"] = expand_seg_head(val["kernel"])
+                if "bias" in val:
+                    val["bias"] = tile_bias(val["bias"])
             out_dec[name] = val
 
         return {"params": {"encoder": out_enc, "decoder": out_dec}}
@@ -243,11 +287,11 @@ class S2DPlainConvUNet:
         return _lrelu(x, self.slope)
 
     def apply(self, params, x: Array, deep_supervision: bool = False,
-              s2d_output: bool = False) -> Array:
+              s2d_output: bool = False, return_features: bool = False) -> Array:
         """s2d_output=True returns the seg head's HALF-RES (B, X/2, Y/2, Z/2,
         8K) tensor (offset-major groups) without the final depth_to_space —
         the s2d-domain sweep accumulates in this layout directly, so the
-        8K+8 = 496-channel accumulator lane-pads only 496->512 (1.03x)
+        8K = 488-channel accumulator lane-pads only 488->512 (1.05x)
         instead of the full-res (K+1)=62 -> 128 (2.1x)."""
         assert not deep_supervision, "s2d transform is inference-only"
         assert all(d % 2 == 0 for d in x.shape[1:4]), \
@@ -301,6 +345,16 @@ class S2DPlainConvUNet:
                 for i in range(self.n_conv_dec[d]):
                     x = self._block(x, dec[f"stage_{d}"][f"block_{i}"],
                                     (1, 1, 1), same3, groups=8)
+                if return_features:
+                    # pre-seg-head s2d activations (B, X/2, Y/2, Z/2, 8F).
+                    # The 1^3 seg head commutes with tile slicing, so the
+                    # sliding-window engine applies it PER TILE via
+                    # :meth:`seg_head_apply` — materializing (B, ..., 8F)
+                    # bf16 features instead of (B, ..., 8K) fp32 logits
+                    # (0.38 vs 2.9 GB at bone_turbo scale) stops XLA from
+                    # rematerializing the head matmul once per tile slice
+                    # (traced: 7 remat copies, ~2.6 s device, round 3)
+                    return x
                 seg = _seg_head_grouped(
                     x, dec[f"seg_head_{d}"]["kernel"],
                     dec[f"seg_head_{d}"].get("bias"), self.num_classes)
@@ -310,6 +364,14 @@ class S2DPlainConvUNet:
                     return seg
                 return depth_to_space(seg)
         raise AssertionError("unreachable")
+
+    def seg_head_apply(self, params, feats: Array) -> Array:
+        """Apply the (block-diagonal) 1^3 seg head to pre-head s2d
+        activations of any leading shape: (..., 8F) -> (..., 8K)."""
+        last = self.n_stages - 2
+        hd = params["params"]["decoder"][f"seg_head_{last}"]
+        return _seg_head_grouped(feats, hd["kernel"], hd.get("bias"),
+                                 self.num_classes)
 
     @staticmethod
     def _same(kernel) -> Tuple[Tuple[int, int], ...]:
@@ -327,13 +389,12 @@ def _concat_grouped(a: Array, b: Array) -> Array:
 
 
 def _seg_head_grouped(x: Array, kernel: Array, bias, num_classes: int) -> Array:
-    """1^3 seg head applied per offset group: (..., 8F) -> (..., 8K)."""
-    W = jnp.asarray(kernel, x.dtype).reshape(kernel.shape[-2], kernel.shape[-1])
-    sp = x.shape[:-1]
-    y = x.reshape(*sp, 8, x.shape[-1] // 8) @ W
+    """1^3 seg head: (..., 8F) -> (..., 8K) via the block-diagonal matmul
+    prepared by :func:`expand_seg_head` (flat layout in, flat layout out)."""
+    y = x @ jnp.asarray(kernel, x.dtype)
     if bias is not None:
         y = y + jnp.asarray(bias, x.dtype)
-    return y.reshape(*sp, 8 * num_classes)
+    return y
 
 
 def make_s2d_engine_net(network, arch_kwargs: dict, num_classes: int,
