@@ -98,7 +98,10 @@ def main():
         max_accumulator_bytes=4 * 1024 ** 3,
         use_pallas_accumulate=os.environ.get("BENCH_PALLAS_ACC", "0") == "1",
         use_coset_sweep=os.environ.get("BENCH_COSET", "0") == "1",
-        use_s2d_sweep=use_s2d_sweep)
+        use_s2d_sweep=use_s2d_sweep,
+        # fused head+gaussian+RMW Pallas kernel over the uniform+tail grid
+        # (ops/pallas_s2d.py) — opt-in pending the hardware A/B
+        use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1")
 
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2

@@ -99,6 +99,7 @@ class SlidingWindowEngine:
                  use_coset_sweep: bool = False,
                  use_streamed_sweep: bool = False,
                  use_s2d_sweep: bool = False,
+                 use_pallas_s2d: bool = False,
                  pad_to_tile_batch: bool = False):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -129,6 +130,12 @@ class SlidingWindowEngine:
         # K+1) channel groups lane-pads ~1.03x instead of the full-res (K+1)->128
         # 2.1x, on top of the s2d conv win (see models/s2d.py docstring)
         self.use_s2d_sweep = use_s2d_sweep
+        # opt-in (requires use_s2d_sweep, single fold): fuse seg-head matmul,
+        # gaussian multiply and accumulator RMW into one Pallas kernel
+        # (ops/pallas_s2d.py) over a uniform-stride + aligned-tail grid whose
+        # same-coset batches touch pairwise-disjoint accumulator regions.
+        # The accumulator is fp32 on this path (sublane alignment + accuracy)
+        self.use_pallas_s2d = use_pallas_s2d
         # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
         # Wins only when per-call dispatch latency is negligible (local PCIe
         # serving); the default single-jit sweep is one device call per volume
@@ -1038,6 +1045,60 @@ class SlidingWindowEngine:
                                                  self.tile_step_size)
         return [sorted(set(int(x) - (int(x) % 2) for x in s)) for s in steps]
 
+    def _uniform_tail_steps(self, tight: Tuple[int, ...]) -> List[List[int]]:
+        """Uniform half-patch strides plus one tail start per axis (the Pallas
+        s2d grid). Same tile count as the evenly-spread grid for bone_turbo
+        shapes, but stride-aligned starts make same-coset tiles pairwise
+        DISJOINT (the fused kernel's DMA-pipeline requirement). The z tail
+        rounds UP to a multiple of 16 so half-res offsets stay fp32-sublane
+        aligned — tail tiles then read into the (zero) plane padding, exactly
+        like nnUNet's pad-to-cover sliding window."""
+        steps = []
+        for a, (t, p) in enumerate(zip(tight, self.patch_size)):
+            s = p // 2
+            n = (t - p) // s
+            st = [k * s for k in range(n + 1)]
+            if st[-1] + p < t:
+                tail = t - p
+                if a == len(tight) - 1:  # minor axis: align for the kernel
+                    tail = _round_up(tail, 16)
+                    assert tail <= st[-1] + p, \
+                        f"aligned tail start {tail} would leave a coverage gap"
+                st.append(tail)
+            steps.append(st)
+        return steps
+
+    def _batched_coords_phase(self, coords: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pallas-s2d batching: group tiles of the uniform+tail grid by
+        per-axis phase — stride-aligned starts by (index mod 2), tail starts
+        as their own phase — so every batch holds pairwise-disjoint tiles
+        (same phase + same axis => starts differ by >= patch; a tail phase
+        has a single start per axis). Returns (coords (nb, B, dim),
+        n_real (nb,)): padded slots repeat the last real coord and are
+        excluded via the count, never via masking."""
+        B = min(self.tile_batch, max(1, len(coords)))
+        groups: dict = {}
+        for t in range(len(coords)):
+            key = []
+            for a in range(1, coords.shape[1]):  # x constant within a chunk
+                s = self.patch_size[a] // 2
+                c = int(coords[t, a])
+                key.append((c // s) % 2 if c % s == 0 else 2)
+            groups.setdefault(tuple(key), []).append(t)
+        batches, counts = [], []
+        for key in sorted(groups):
+            members = groups[key]
+            for i in range(0, len(members), B):
+                chunk = members[i:i + B]
+                n = len(chunk)
+                while len(chunk) < B:
+                    chunk.append(chunk[-1])
+                batches.append(coords[chunk])
+                counts.append(n)
+        return (np.stack(batches).astype(np.int32),
+                np.asarray(counts, np.int32))
+
     def _build_sweep_runner_s2d_skip(self, vol_shape, starts_x, n_batches,
                                      n_folds, in_channels):
         """Air-skip variant: validity is PER (chunk, batch, tile) — shape
@@ -1054,7 +1115,8 @@ class SlidingWindowEngine:
     def _build_sweep_runner_s2d(self, vol_shape: Tuple[int, ...],
                                 starts_x: Tuple[int, ...], n_batches: int,
                                 n_folds: int, in_channels: int,
-                                per_chunk_valid: bool = False):
+                                per_chunk_valid: bool = False,
+                                use_pallas: bool = False):
         """Single-jit rolling sweep with accumulation in the SPACE-TO-DEPTH
         domain. The S2D network's seg head already produces half-res
         offset-major logits (B, p0/2, py/2, pz/2, 8K); accumulating in that
@@ -1067,9 +1129,12 @@ class SlidingWindowEngine:
         (see _even_floor_steps) and no mirror-TTA (bone_turbo runs
         mirroring off; ref engine/config/fast_nnunet_bone_turbo.ini)."""
         key = ("sweep_s2d", vol_shape, starts_x, n_batches, n_folds,
-               in_channels, per_chunk_valid)
+               in_channels, per_chunk_valid, use_pallas)
         if key in self._jit_cache:
             return self._jit_cache[key]
+        if use_pallas:
+            assert n_folds == 1 and not per_chunk_valid, \
+                "Pallas s2d accumulate is single-fold, no air-skip"
 
         patch = self.patch_size
         p0 = patch[0]
@@ -1089,6 +1154,11 @@ class SlidingWindowEngine:
         # finalize is a pure per-offset-group argmax, which never read them,
         # and removing the concat kills a per-tile contrib materialization.
         C8 = 8 * K
+        # Pallas path: Mosaic DMAs slice the lane dim only at 128-multiples,
+        # so the accumulator carries [8K real | zero pad] channels (488 ->
+        # 512 for bone_turbo, 1.05x — the same pad VMEM applies anyway);
+        # finalize argmaxes the real channels only
+        C8a = _round_up(C8, 128) if use_pallas else C8
         # single fold (the serving hot path): the forward returns bf16
         # pre-seg-head features and the 1^3 head runs PER TILE inside the
         # accumulate loop — the batched (B, ..., 8K) fp32 logits tensor
@@ -1100,7 +1170,9 @@ class SlidingWindowEngine:
         network = self.network
         forward = self._tile_step_fn(n_folds, s2d_output=True,
                                      s2d_features=use_features)
-        acc_dtype = self.sweep_acc_dtype
+        # the fused kernel accumulates fp32: the bf16 sublane tile (16) can't
+        # align to half-patch z offsets, and fp32 is strictly more accurate
+        acc_dtype = jnp.float32 if use_pallas else self.sweep_acc_dtype
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
         g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
             0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
@@ -1120,7 +1192,8 @@ class SlidingWindowEngine:
             argmax(a / w) == argmax(a) per offset group (same positive w
             within a group), so no weight channels are accumulated at all;
             weight-0 voxels argmax to 0 = background."""
-            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K)
+            r = acc[:n_rows_h] if C8a == C8 else acc[:n_rows_h, ..., :C8]
+            r = r.reshape(n_rows_h, *plane_h, 8, K)
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
             cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
             cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
@@ -1128,16 +1201,38 @@ class SlidingWindowEngine:
 
         def shift_by(acc, n_h):  # static n_h (s2d rows)
             return jnp.concatenate(
-                [acc[n_h:], jnp.zeros((n_h, *plane_h, C8), acc_dtype)], 0)
+                [acc[n_h:], jnp.zeros((n_h, *plane_h, C8a), acc_dtype)], 0)
 
-        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
+        def gather_tiles(vol, coords_b, x0):
             B = coords_b.shape[0]
             patches = []
             for b in range(B):
                 start = (coords_b[b][0] + x0, coords_b[b][1], coords_b[b][2], 0)
                 patches.append(jax.lax.dynamic_slice(
                     vol, start, patch + (in_channels,)))
-            x = jnp.stack(patches).astype(self.compute_dtype)
+            return jnp.stack(patches).astype(self.compute_dtype)
+
+        def accumulate_batch_pallas(a, vol, coords_b, nreal_b, stacked_params,
+                                    x0):
+            """Fused seg-head + gaussian + accumulator RMW — one Pallas call
+            per same-coset batch (see ops/pallas_s2d.py). nreal_b is the
+            batch's REAL-ITEM COUNT (disjoint-tile batching), not a mask."""
+            from ..ops.pallas_s2d import fused_head_gauss_accumulate
+            feats = forward(stacked_params, gather_tiles(vol, coords_b, x0))
+            single = jax.tree_util.tree_map(lambda t: t[0], stacked_params)
+            w_hd, b_hd = network.seg_head_params(single)
+            w_bf = jnp.asarray(w_hd, jnp.bfloat16)
+            b_bf = jnp.asarray(b_hd, jnp.bfloat16) if b_hd is not None \
+                else jnp.zeros((C8,), jnp.bfloat16)
+            coords_h = (coords_b[:, 1:] // 2).astype(jnp.int32)
+            return fused_head_gauss_accumulate(
+                a, feats.astype(jnp.bfloat16), g_s2d.astype(jnp.float32),
+                w_bf, b_bf, coords_h, nreal_b,
+                interpret=self._pallas_interpret)
+
+        def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
+            B = coords_b.shape[0]
+            x = gather_tiles(vol, coords_b, x0)
             out = forward(stacked_params, x)  # (B,...,8F) bf16 | (B,...,8K) fp32
             if use_features:
                 single = jax.tree_util.tree_map(lambda a: a[0], stacked_params)
@@ -1160,12 +1255,17 @@ class SlidingWindowEngine:
         def sweep(stacked_params, vol, coords_yz, valid_yz):
             # valid_yz: (nb, B) shared across chunks, or (n_chunks, nb, B)
             # per-chunk when per_chunk_valid (air skipping)
-            acc0 = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
+            acc0 = jnp.zeros((p0h, *plane_h, C8a), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
             def accumulate(acc, x0, valid_c):
                 def tile_body(a, cv):
                     coords_b, valid_b = cv
+                    if use_pallas:
+                        # valid_b is this batch's real-item count (int32)
+                        return accumulate_batch_pallas(
+                            a, vol, coords_b, valid_b, stacked_params, x0), \
+                            None
                     if per_chunk_valid:
                         # whole-air batches skip the forward at runtime (XLA
                         # conditional executes only the taken branch)
@@ -1226,9 +1326,15 @@ class SlidingWindowEngine:
         x_tight = _round_up(max(int(spatial[0]), p0), 2)
         tight_rest = tuple(_round_up(max(int(s), p), 2)
                            for s, p in zip(spatial[1:], self.patch_size[1:]))
-        steps = self._even_floor_steps((x_tight, *tight_rest))
+        if self.use_pallas_s2d:
+            steps = self._uniform_tail_steps((x_tight, *tight_rest))
+        else:
+            steps = self._even_floor_steps((x_tight, *tight_rest))
         plane_padded = tuple(_round_up(_round_up(t, self.shape_bucket), 2)
                              for t in tight_rest)
+        for s, pl_, p in zip(steps[1:], plane_padded, self.patch_size[1:]):
+            assert s[-1] + p <= pl_, \
+                f"tail start {s[-1]} + patch {p} exceeds padded plane {pl_}"
         return (x_tight, *plane_padded), steps
 
     def run_s2d_sweep(self, params_list, vol_dev, spatial: Sequence[int]):
@@ -1250,11 +1356,16 @@ class SlidingWindowEngine:
         coords_yz = tile_coords_from_steps(steps[1:])
         coords_full = np.concatenate(
             [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
-        coords_b, valid_b = self._batched_coords(coords_full)
+        use_pallas = self.use_pallas_s2d and n_folds == 1
+        if use_pallas:
+            coords_b, valid_b = self._batched_coords_phase(coords_full)
+        else:
+            coords_b, valid_b = self._batched_coords(coords_full)
 
         sweep = self._build_sweep_runner_s2d(vol_shape, starts_x,
                                              len(coords_b), n_folds,
-                                             int(vol_dev.shape[-1]))
+                                             int(vol_dev.shape[-1]),
+                                             use_pallas=use_pallas)
         return sweep(stacked, vol_dev, jnp.asarray(coords_b),
                      jnp.asarray(valid_b))
 

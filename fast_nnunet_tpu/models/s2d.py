@@ -368,10 +368,16 @@ class S2DPlainConvUNet:
     def seg_head_apply(self, params, feats: Array) -> Array:
         """Apply the (block-diagonal) 1^3 seg head to pre-head s2d
         activations of any leading shape: (..., 8F) -> (..., 8K)."""
+        kernel, bias = self.seg_head_params(params)
+        return _seg_head_grouped(feats, kernel, bias, self.num_classes)
+
+    def seg_head_params(self, params):
+        """(kernel (8F, 8K), bias (8K,) or None) of the expanded
+        block-diagonal seg head — the engine's fused Pallas accumulate
+        (ops/pallas_s2d.py) applies the head inside its kernel."""
         last = self.n_stages - 2
         hd = params["params"]["decoder"][f"seg_head_{last}"]
-        return _seg_head_grouped(feats, hd["kernel"], hd.get("bias"),
-                                 self.num_classes)
+        return hd["kernel"], hd.get("bias")
 
     @staticmethod
     def _same(kernel) -> Tuple[Tuple[int, int], ...]:
