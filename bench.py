@@ -41,9 +41,16 @@ def main():
     if args.e2e:
         return main_e2e(args)
 
+    import os
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if os.environ.get("JAX_PLATFORMS"):
+        # the container's sitecustomize pins jax_platforms='axon,cpu' AFTER
+        # env is read, so honor an explicit JAX_PLATFORMS here (lets the
+        # --tiny smoke run on CPU while the TPU tunnel is down)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from __graft_entry__ import _bone_turbo_student
     from fast_nnunet_tpu.inference.engine import SlidingWindowEngine

@@ -146,14 +146,39 @@ def _transpconv(x: Array, kernel: Array, bias: Optional[Array], strides,
 
 
 def _instance_norm(x: Array, scale: Array, bias: Array, eps: float,
-                   groups: int = 1) -> Array:
+                   groups: int = 1, pallas_stats: bool = False) -> Array:
     """InstanceNorm over spatial dims; with groups=8, channels are (offset,
     logical) pairs and statistics pool over the offset axis too, exactly
-    reproducing full-resolution InstanceNorm in the s2d layout."""
+    reproducing full-resolution InstanceNorm in the s2d layout.
+
+    pallas_stats=True computes the two moments with the one-HBM-pass Pallas
+    kernel (ops/pallas_stats.py) instead of XLA's reduce fusions — the
+    round-3 trace prices those at ~1% of HBM bandwidth on the big full-res
+    activations (see the kernel docstring). Small activations (< 4096
+    spatial voxels) keep the XLA path: per-call overhead would dominate."""
     orig = x.dtype
     B = x.shape[0]
     c8 = x.shape[-1]
     c = c8 // groups
+    n_spatial = 1
+    for d in x.shape[1:-1]:
+        n_spatial *= int(d)
+    if pallas_stats and n_spatial >= 4096:
+        from ..ops.pallas_stats import spatial_sum_sumsq
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        s, q = spatial_sum_sumsq(x, interpret=interpret)     # (B, c8) f32
+        n = n_spatial * groups
+        s = s.reshape(B, groups, c).sum(1)
+        q = q.reshape(B, groups, c).sum(1)
+        mean_g = s / n                                       # (B, c)
+        var_g = jnp.maximum(q / n - mean_g * mean_g, 0.0)
+        shape = (B,) + (1,) * (x.ndim - 2) + (c8,)
+        m = jnp.tile(mean_g, (1, groups)).reshape(shape)
+        r = jnp.tile(jax.lax.rsqrt(var_g + eps), (1, groups)).reshape(shape)
+        y = (x.astype(jnp.float32) - m) * r
+        y = y * jnp.tile(jnp.asarray(scale), groups) \
+            + jnp.tile(jnp.asarray(bias), groups)
+        return y.astype(orig)
     if groups == 1:
         x32 = x.astype(jnp.float32).reshape(B, -1, groups, c)
         # measured on hardware (round 3): the E[x]/E[x^2] single-pass variant
@@ -206,7 +231,7 @@ class S2DPlainConvUNet:
                  num_classes: int, strides: Sequence[Sequence[int]],
                  kernel_sizes: Sequence[Sequence[int]],
                  norm_eps: float = 1e-5, nonlin_negative_slope: float = 0.01,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, use_pallas_stats: bool = False):
         self.n_stages = n_stages
         self.features = list(features_per_stage)
         self.n_conv = list(n_conv_per_stage)
@@ -217,6 +242,7 @@ class S2DPlainConvUNet:
         self.eps = norm_eps
         self.slope = nonlin_negative_slope
         self.dtype = dtype
+        self.use_pallas_stats = use_pallas_stats
 
     # -------------------------------------------------------------- eligibility
     @staticmethod
@@ -283,7 +309,8 @@ class S2DPlainConvUNet:
         x = _conv(x, blk["conv"]["kernel"], blk["conv"].get("bias"),
                   strides, padding, self.dtype)
         x = _instance_norm(x, blk["norm"]["scale"], blk["norm"]["bias"],
-                           self.eps, groups=groups)
+                           self.eps, groups=groups,
+                           pallas_stats=self.use_pallas_stats)
         return _lrelu(x, self.slope)
 
     def apply(self, params, x: Array, deep_supervision: bool = False,
@@ -404,12 +431,18 @@ def _seg_head_grouped(x: Array, kernel: Array, bias, num_classes: int) -> Array:
 
 
 def make_s2d_engine_net(network, arch_kwargs: dict, num_classes: int,
-                        dtype=jnp.bfloat16):
+                        dtype=jnp.bfloat16, use_pallas_stats=None):
     """Build the s2d companion of a PlainConvUNet from its arch kwargs.
     Returns None when the architecture doesn't match the transformable
-    pattern (callers fall back to the plain network)."""
+    pattern (callers fall back to the plain network).
+
+    use_pallas_stats: compute InstanceNorm moments with the one-pass Pallas
+    kernel (ops/pallas_stats.py); None reads FNN_PALLAS_STATS (default off)."""
     if not S2DPlainConvUNet.supports(arch_kwargs):
         return None
+    if use_pallas_stats is None:
+        import os
+        use_pallas_stats = os.environ.get("FNN_PALLAS_STATS", "0") == "1"
     return S2DPlainConvUNet(
         n_stages=arch_kwargs["n_stages"],
         features_per_stage=arch_kwargs["features_per_stage"],
@@ -418,4 +451,4 @@ def make_s2d_engine_net(network, arch_kwargs: dict, num_classes: int,
         num_classes=num_classes,
         strides=arch_kwargs["strides"],
         kernel_sizes=arch_kwargs["kernel_sizes"],
-        dtype=dtype)
+        dtype=dtype, use_pallas_stats=use_pallas_stats)
