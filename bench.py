@@ -108,7 +108,9 @@ def main():
         use_s2d_sweep=use_s2d_sweep,
         # fused head+gaussian+RMW Pallas kernel over the uniform+tail grid
         # (ops/pallas_s2d.py) — opt-in pending the hardware A/B
-        use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1")
+        use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
+        # per-offset argmax on the flat accumulator (ops/pallas_finalize.py)
+        use_pallas_finalize=os.environ.get("BENCH_PALLAS_FINALIZE", "0") == "1")
 
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2

@@ -100,6 +100,7 @@ class SlidingWindowEngine:
                  use_streamed_sweep: bool = False,
                  use_s2d_sweep: bool = False,
                  use_pallas_s2d: bool = False,
+                 use_pallas_finalize: bool = False,
                  pad_to_tile_batch: bool = False):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -136,6 +137,10 @@ class SlidingWindowEngine:
         # same-coset batches touch pairwise-disjoint accumulator regions.
         # The accumulator is fp32 on this path (sublane alignment + accuracy)
         self.use_pallas_s2d = use_pallas_s2d
+        # opt-in (s2d sweep): per-offset argmax directly on the flat
+        # offset-major accumulator (ops/pallas_finalize.py) instead of XLA's
+        # reshape-to-(…, 8, K) relayout copy + variadic argmax reduce
+        self.use_pallas_finalize = use_pallas_finalize
         # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
         # Wins only when per-call dispatch latency is negligible (local PCIe
         # serving); the default single-jit sweep is one device call per volume
@@ -1129,7 +1134,8 @@ class SlidingWindowEngine:
         (see _even_floor_steps) and no mirror-TTA (bone_turbo runs
         mirroring off; ref engine/config/fast_nnunet_bone_turbo.ini)."""
         key = ("sweep_s2d", vol_shape, starts_x, n_batches, n_folds,
-               in_channels, per_chunk_valid, use_pallas)
+               in_channels, per_chunk_valid, use_pallas,
+               self.use_pallas_finalize)
         if key in self._jit_cache:
             return self._jit_cache[key]
         if use_pallas:
@@ -1192,6 +1198,13 @@ class SlidingWindowEngine:
             argmax(a / w) == argmax(a) per offset group (same positive w
             within a group), so no weight channels are accumulated at all;
             weight-0 voxels argmax to 0 = background."""
+            if self.use_pallas_finalize:
+                from ..ops.pallas_finalize import grouped_argmax
+                cls8 = grouped_argmax(acc, K, n_rows_h,
+                                      interpret=self._pallas_interpret)
+                cls8 = cls8.reshape(n_rows_h, 2, 2, 2, *plane_h)
+                cls8 = cls8.transpose(0, 1, 4, 2, 5, 3)
+                return cls8.reshape(2 * n_rows_h, *plane)
             r = acc[:n_rows_h] if C8a == C8 else acc[:n_rows_h, ..., :C8]
             r = r.reshape(n_rows_h, *plane_h, 8, K)
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
