@@ -1193,6 +1193,12 @@ class SlidingWindowEngine:
         max_roll_h = max(rolls_h) if rolls_h else 0
         x_last = starts_x[-1]
 
+        def revert_cls(cls8, n_rows_h):
+            """(n, 8, Yh, Zh) uint8 offset planes -> full-res (2n, Y, Z)."""
+            cls8 = cls8.reshape(n_rows_h, 2, 2, 2, *plane_h)
+            cls8 = cls8.transpose(0, 1, 4, 2, 5, 3)
+            return cls8.reshape(2 * n_rows_h, *plane)
+
         def finalize_rows(acc, n_rows_h):
             """acc (p0h, Yh, Zh, 8K) -> full-res uint8 rows (2n, Y, Z).
             argmax(a / w) == argmax(a) per offset group (same positive w
@@ -1202,9 +1208,7 @@ class SlidingWindowEngine:
                 from ..ops.pallas_finalize import grouped_argmax
                 cls8 = grouped_argmax(acc, K, n_rows_h,
                                       interpret=self._pallas_interpret)
-                cls8 = cls8.reshape(n_rows_h, 2, 2, 2, *plane_h)
-                cls8 = cls8.transpose(0, 1, 4, 2, 5, 3)
-                return cls8.reshape(2 * n_rows_h, *plane)
+                return revert_cls(cls8, n_rows_h)
             r = acc[:n_rows_h] if C8a == C8 else acc[:n_rows_h, ..., :C8]
             r = r.reshape(n_rows_h, *plane_h, 8, K)
             cls8 = r.argmax(-1).astype(jnp.uint8)  # (n, Yh, Zh, 8)
@@ -1226,7 +1230,7 @@ class SlidingWindowEngine:
             return jnp.stack(patches).astype(self.compute_dtype)
 
         def accumulate_batch_pallas(a, vol, coords_b, nreal_b, stacked_params,
-                                    x0):
+                                    x0, row_base):
             """Fused seg-head + gaussian + accumulator RMW — one Pallas call
             per same-coset batch (see ops/pallas_s2d.py). nreal_b is the
             batch's REAL-ITEM COUNT (disjoint-tile batching), not a mask."""
@@ -1240,7 +1244,7 @@ class SlidingWindowEngine:
             coords_h = (coords_b[:, 1:] // 2).astype(jnp.int32)
             return fused_head_gauss_accumulate(
                 a, feats.astype(jnp.bfloat16), g_s2d.astype(jnp.float32),
-                w_bf, b_bf, coords_h, nreal_b,
+                w_bf, b_bf, coords_h, nreal_b, row_base,
                 interpret=self._pallas_interpret)
 
         def accumulate_batch(a, vol, coords_b, valid_b, stacked_params, x0):
@@ -1264,6 +1268,13 @@ class SlidingWindowEngine:
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
             return a
 
+        # cyclic accumulator: with BOTH pallas kernels on, the per-chunk
+        # shift (pad + slice concatenate, ~78 ms/chunk in the compiled HLO)
+        # disappears — the finalize kernel zeroes retired rows in place and
+        # the row origin advances modularly; both kernels map virtual row i
+        # to physical row (base + i) % p0h
+        cyclic = use_pallas and self.use_pallas_finalize
+
         @jax.jit
         def sweep(stacked_params, vol, coords_yz, valid_yz):
             # valid_yz: (nb, B) shared across chunks, or (n_chunks, nb, B)
@@ -1271,14 +1282,14 @@ class SlidingWindowEngine:
             acc0 = jnp.zeros((p0h, *plane_h, C8a), acc_dtype)
             seg0 = jnp.zeros(vol_shape, jnp.uint8)
 
-            def accumulate(acc, x0, valid_c):
+            def accumulate(acc, x0, valid_c, row_base=0):
                 def tile_body(a, cv):
                     coords_b, valid_b = cv
                     if use_pallas:
                         # valid_b is this batch's real-item count (int32)
                         return accumulate_batch_pallas(
-                            a, vol, coords_b, valid_b, stacked_params, x0), \
-                            None
+                            a, vol, coords_b, valid_b, stacked_params, x0,
+                            row_base), None
                     if per_chunk_valid:
                         # whole-air batches skip the forward at runtime (XLA
                         # conditional executes only the taken branch)
@@ -1295,13 +1306,25 @@ class SlidingWindowEngine:
                 return acc
 
             def chunk_body(carry, inputs):
-                acc, seg = carry
+                acc, seg, base = carry
                 if per_chunk_valid:
                     x0, roll_h, valid_c = inputs
                 else:
                     x0, roll_h = inputs
                     valid_c = valid_yz
-                acc = accumulate(acc, x0, valid_c)
+                acc = accumulate(acc, x0, valid_c, base)
+                if cyclic:
+                    # finalize + retire in one kernel: zero the roll_h
+                    # consumed rows in place, advance the row origin — no
+                    # physical accumulator shift at all
+                    from ..ops.pallas_finalize import grouped_argmax
+                    cls8, acc = grouped_argmax(
+                        acc, K, max_roll_h, base, roll_h,
+                        interpret=self._pallas_interpret)
+                    rows = revert_cls(cls8, max_roll_h)
+                    seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
+                    base = jax.lax.rem(base + roll_h, jnp.int32(p0h))
+                    return (acc, seg, base), None
                 rows = finalize_rows(acc, max_roll_h)
                 seg = jax.lax.dynamic_update_slice(seg, rows, (x0, 0, 0))
                 if len(distinct_rolls) == 2:
@@ -1311,19 +1334,25 @@ class SlidingWindowEngine:
                                        lambda a: shift_by(a, hi), acc)
                 elif distinct_rolls:
                     acc = shift_by(acc, distinct_rolls[0])
-                return (acc, seg), None
+                return (acc, seg, base), None
 
             scan_xs = (jnp.asarray(starts_x[:-1], jnp.int32),
                        jnp.asarray(rolls_h, jnp.int32))
             valid_last = valid_yz[-1] if per_chunk_valid else valid_yz
             if per_chunk_valid:
                 scan_xs = scan_xs + (valid_yz[:-1],)
-            acc, seg = acc0, seg0
+            acc, seg, base = acc0, seg0, jnp.int32(0)
             if n_starts > 1:
-                (acc, seg), _ = jax.lax.scan(chunk_body, (acc0, seg0),
-                                             scan_xs)
-            acc = accumulate(acc, x_last, valid_last)
-            rows = finalize_rows(acc, p0h)
+                (acc, seg, base), _ = jax.lax.scan(
+                    chunk_body, (acc0, seg0, jnp.int32(0)), scan_xs)
+            acc = accumulate(acc, x_last, valid_last, base)
+            if cyclic:
+                from ..ops.pallas_finalize import grouped_argmax
+                cls8 = grouped_argmax(acc, K, p0h, base,
+                                      interpret=self._pallas_interpret)
+                rows = revert_cls(cls8, p0h)
+            else:
+                rows = finalize_rows(acc, p0h)
             return jax.lax.dynamic_update_slice(seg, rows, (x_last, 0, 0))
 
         self._jit_cache[key] = sweep

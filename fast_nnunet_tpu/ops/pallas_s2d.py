@@ -55,12 +55,18 @@ def _kernel(coords_ref, nreal_ref, acc_in, feats_ref, g_ref, w_ref, b_ref,
     # acc_in is aliased to acc_out (same HBM buffer); operate through acc_out
     del acc_in
     n_real = nreal_ref[0]
+    # cyclic accumulator: virtual tile row i lives at physical row
+    # (row_base + i) % p0h — lets the engine retire finalized rows by bumping
+    # the base instead of physically shifting the accumulator (see
+    # ops/pallas_finalize.py and the engine's s2d sweep runner)
+    row_base = nreal_ref[1]
     n_vox = pyh * pzh
 
     def region(b, i):
         yh0 = pl.multiple_of(coords_ref[b, 0], 1)
         zh0 = pl.multiple_of(coords_ref[b, 1], 8)
-        return acc_out.at[i, pl.ds(yh0, pyh), pl.ds(zh0, pzh), :]
+        ip = jax.lax.rem(row_base + i, p0h)
+        return acc_out.at[ip, pl.ds(yh0, pyh), pl.ds(zh0, pzh), :]
 
     def loads(b, i, slot):
         pltpu.make_async_copy(region(b, i), acc_buf.at[slot],
@@ -136,8 +142,8 @@ def _kernel(coords_ref, nreal_ref, acc_in, feats_ref, g_ref, w_ref, b_ref,
 def fused_head_gauss_accumulate(acc: jnp.ndarray, feats: jnp.ndarray,
                                 g_s2d: jnp.ndarray, w: jnp.ndarray,
                                 b: jnp.ndarray, coords_h: jnp.ndarray,
-                                n_real, *, interpret: bool = False
-                                ) -> jnp.ndarray:
+                                n_real, row_base=0, *,
+                                interpret: bool = False) -> jnp.ndarray:
     """acc[.., yh0_t:+pyh, zh0_t:+pzh, :] += seg_head(feats[t]) * gaussian
     for every tile t < n_real.
 
@@ -149,6 +155,8 @@ def fused_head_gauss_accumulate(acc: jnp.ndarray, feats: jnp.ndarray,
     coords_h: (B, 2) int32 — per-tile (yh0, zh0) half-res offsets; zh0 must
               be a multiple of 8; tiles < n_real must be pairwise disjoint
     n_real:   scalar int32 — tiles beyond it are ignored (padding)
+    row_base: scalar int32 — cyclic row origin: virtual tile row i maps to
+              physical accumulator row (row_base + i) % p0h
     """
     B, p0h, pyh, pzh, f8 = feats.shape
     P0, Y, Z, c8p = acc.shape
@@ -173,7 +181,8 @@ def fused_head_gauss_accumulate(acc: jnp.ndarray, feats: jnp.ndarray,
     kk = c8 // 8
     for k in range(8):
         e[k, k * kk:(k + 1) * kk] = 1.0
-    nreal_arr = jnp.asarray(n_real, jnp.int32).reshape(1)
+    nreal_arr = jnp.stack([jnp.asarray(n_real, jnp.int32).reshape(()),
+                           jnp.asarray(row_base, jnp.int32).reshape(())])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # coords, n_real

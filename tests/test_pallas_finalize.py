@@ -64,3 +64,26 @@ def test_engine_s2d_sweep_pallas_finalize_matches_default():
     ref = run()
     got = run(use_pallas_finalize=True)
     np.testing.assert_array_equal(got, ref)
+    # BOTH kernels on => cyclic accumulator mode (no physical shift);
+    # fp32 accumulation on the pallas-accumulate path can legitimately
+    # differ from the bf16-carried XLA logits within rounding, so compare
+    # masks with the same agreement contract as the accumulate kernel tests
+    cyc = run(use_pallas_finalize=True, use_pallas_s2d=True)
+    assert (cyc == ref).mean() > 0.999
+
+
+def test_cyclic_finalize_zeroes_and_rebases():
+    """grouped_argmax with n_zero: consumed rows are zeroed in place and the
+    modular row mapping reads the right physical rows."""
+    K = 3
+    rng = np.random.RandomState(5)
+    acc = jnp.asarray(rng.randn(4, 8, 8, 24).astype(np.float32))
+    # base 1: virtual rows 0..2 are physical 1,2,3
+    cls, acc2 = grouped_argmax(acc, K, 3, row_base=1, n_zero=2, y_block=8,
+                               interpret=True)
+    ref = np.asarray(acc)[[1, 2, 3]].reshape(3, 8, 8, 8, K).argmax(-1)
+    np.testing.assert_array_equal(np.asarray(cls),
+                                  ref.transpose(0, 3, 1, 2))
+    a2 = np.asarray(acc2)
+    assert (a2[[1, 2]] == 0).all()            # virtual rows 0,1 zeroed
+    np.testing.assert_array_equal(a2[[0, 3]], np.asarray(acc)[[0, 3]])
