@@ -179,7 +179,10 @@ def main_e2e(args):
         mirror_axes=(), compute_dtype=jnp.bfloat16, acc_dtype=jnp.float32,
         sweep_acc_dtype=jnp.bfloat16, shape_bucket=32,
         tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
-        max_accumulator_bytes=4 * 1024 ** 3, use_s2d_sweep=True)
+        max_accumulator_bytes=4 * 1024 ** 3, use_s2d_sweep=True,
+        use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
+        use_pallas_finalize=os.environ.get(
+            "BENCH_PALLAS_FINALIZE", "0") == "1")
     cfg = TurboConfig.from_ini(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "engine", "config", "fast_nnunet_bone_turbo.ini"))

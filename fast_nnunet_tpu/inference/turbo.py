@@ -27,6 +27,7 @@ TPU-first decisions:
 """
 import argparse
 import configparser
+import os
 import re
 import time
 from typing import Optional, Sequence, Tuple
@@ -393,7 +394,12 @@ class TurboPipeline:
             use_gaussian=True, mirror_axes=(), compute_dtype=compute_dtype,
             acc_dtype=jnp.float32,
             sweep_acc_dtype=compute_dtype, shape_bucket=32,
-            tile_batch=tile_batch, use_s2d_sweep=True)
+            tile_batch=tile_batch, use_s2d_sweep=True,
+            # opt-in Pallas kernels (see docs/Performance.md round-3 log);
+            # env-gated so hardware A/Bs need no code edits
+            use_pallas_s2d=os.environ.get("FNN_PALLAS_S2D", "0") == "1",
+            use_pallas_finalize=os.environ.get(
+                "FNN_PALLAS_FINALIZE", "0") == "1")
         return cls(engine, config, air_skip=air_skip), params
 
     def predict_file(self, params_list, input_file,
