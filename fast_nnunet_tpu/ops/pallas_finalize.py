@@ -50,8 +50,13 @@ def _kernel(scal_ref, acc_ref, cls_ref, *maybe_acc_out,
         g = jnp.where(win, x, neg)
         m = jnp.max(g, axis=-1, keepdims=True)
         # first-match index within the group (ties -> lowest class, matching
-        # jnp.argmax); non-max / out-of-window lanes propose K
-        idx = jnp.where(win & (g == m), lane - lo, K)
+        # jnp.argmax); non-max / out-of-window lanes propose K. Two separate
+        # selects, not `win & (g == m)`: Mosaic cannot relayout the i1 AND of
+        # a sublane-replicated iota mask with a broadcast-compare mask
+        # ("Invalid relayout: non-singleton dim replicated in destination",
+        # v5e hardware; interpret mode doesn't exercise layouts)
+        idx = jnp.where(g == m, lane - lo, K)
+        idx = jnp.where(win, idx, K)
         cls_ref[0, o] = jnp.min(idx, axis=-1).astype(jnp.uint8)
     if maybe_acc_out:
         # retire consumed rows: zero the first n_zero VIRTUAL rows in place
