@@ -70,7 +70,7 @@ def test_golden_fixture_full_pipeline_torch_parity(tmp_path):
     """preprocess -> sliding-window -> revert geometry on the golden CT: our
     mask must match an independent torch sliding window using the same
     (imported) weights, voxel-for-voxel up to argmax ties (>= 99.9%)."""
-    from tests.test_torch_import import _TorchUNet, _our_net
+    from tests.test_torch_import import build_torch_unet, _our_net
     from fast_nnunet_tpu.core.plans import PlansManager
     from fast_nnunet_tpu.imageio.nifti import NiftiIO
     from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
@@ -101,7 +101,7 @@ def test_golden_fixture_full_pipeline_torch_parity(tmp_path):
         img, None, dict(props), pm, cm, dj)
 
     # identical weights on both sides
-    tnet = _TorchUNet()
+    tnet = build_torch_unet()
     gen = torch.Generator().manual_seed(7)
     with torch.no_grad():
         for p in tnet.parameters():
