@@ -19,12 +19,15 @@ order). Inside a halo region the per-voxel sum combines the neighbor's
 subtotal with the local subtotal, which reassociates the floating-point
 additions relative to the single-chip x-ascending order; logits differ by
 ~1 ulp and argmax can flip on near-ties (tests/test_sharded.py pins >= 99%
-agreement on halo rows, 100% elsewhere). True bit-exactness would require
-the receiver to fold the incoming halo in BEFORE its own tiles — with
-owned rows (x_tight / D) smaller than the patch extent every local tile
-overlaps the halo, so that ordering wavefront-serializes the devices and
-forfeits the parallelism this path exists for; the reassociation is the
-designed trade.
+agreement on halo rows, 100% elsewhere). True bit-exactness requires the
+receiver to fold the incoming halo in BEFORE its own tiles — with owned
+rows (x_tight / D) smaller than the patch extent every local tile overlaps
+the halo, so that ordering wavefront-serializes the devices and forfeits
+the parallelism this path exists for; the reassociation is the designed
+trade for serving. ``halo_exact=True`` opts into exactly that wavefront
+ordering for validation runs: multi-chip output is then voxel-identical to
+the single-chip sweep (tests/test_sharded.py pins 100% agreement) at
+single-chip-like latency.
 
 There is no analogue in the reference — it is single-GPU for inference — this is
 where the TPU design wins the end-to-end latency target (BASELINE.json: <5 s for
@@ -42,12 +45,52 @@ from ..ops.sliding_window import compute_steps_for_sliding_window, tile_coords_f
 from .engine import SlidingWindowEngine, _round_up
 
 
+def _exact_wavefront_accumulate(acc0, run_tiles, owned_rows: int,
+                                halo_rows: int, D: int, axis_name: str,
+                                perm_right):
+    """BIT-EXACT halo accumulation: serialize the devices into a wavefront so
+    every voxel's floating-point additions happen in the single-chip
+    (x-ascending) order. Stage s: device s folds the halo received from its
+    left neighbor into rows [0, halo) FIRST (0 + x == x bit-exactly — no
+    local contribution has touched those rows yet), then accumulates its own
+    tiles, then forwards its overhang rows [owned, ext) right. Rows received
+    beyond a device's owned extent land in its overhang and relay on the next
+    stage, preserving global order for halos spanning multiple slabs.
+
+    This trades away the slab parallelism (each stage runs one device's tiles
+    while the others idle in the untaken lax.cond branch) — it exists so
+    validation runs can pin multi-chip output voxel-identical to the
+    single-chip sweep; serving uses the parallel reassociating mode."""
+    idx = jax.lax.axis_index(axis_name)
+    inbox0 = jnp.zeros((halo_rows,) + acc0.shape[1:], acc0.dtype)
+
+    def stage(s, carry):
+        acc, inbox = carry
+        active = idx == s
+        acc = acc.at[:halo_rows].add(inbox)
+        acc = jax.lax.cond(active, run_tiles, lambda a: a, acc)
+        tail = jax.lax.ppermute(
+            jnp.where(active, acc[owned_rows:], 0), axis_name, perm_right)
+        acc = jnp.where(active, acc.at[owned_rows:].set(0), acc)
+        inbox = tail * (idx == s + 1).astype(acc.dtype)
+        return acc, inbox
+
+    acc, _ = jax.lax.fori_loop(0, D, stage, (acc0, inbox0))
+    return acc
+
+
 def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
                                    volume: np.ndarray, mesh: Mesh,
-                                   axis_name: str = "space") -> np.ndarray:
+                                   axis_name: str = "space",
+                                   halo_exact: bool = False) -> np.ndarray:
     """volume (C, *spatial) -> argmax segmentation, slab-parallel over the mesh.
 
     Requires a 1D device axis named `axis_name` in `mesh`.
+
+    ``halo_exact=True`` opts into the bit-exact validation mode: devices
+    serialize into a wavefront (see :func:`_exact_wavefront_accumulate`) so
+    the output is voxel-identical to the single-chip sweep even on halo rows
+    — at the cost of the parallelism (use for parity pinning, not serving).
     """
     if not isinstance(params_list, (list, tuple)):
         params_list = [params_list]
@@ -125,20 +168,29 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
                                             params, gaussian, acc_dtype,
                                             in_channels), None
 
-        acc, _ = jax.lax.scan(body, acc0, (coords, valid))
+        def run_tiles(a):
+            a, _ = jax.lax.scan(body, a, (coords, valid))
+            return a
 
-        # forward the overhang [owned, ext) along the ring: each hop sends the
-        # current overhang right, zeroes it locally (no re-send), and adds the
-        # received rows at local [0, halo) — contributions still beyond the
-        # receiver's owned rows land back in the overhang and ride the next
-        # hop. The wrap from the ring's end carries only zeros (no tiles
-        # extend past the padded volume), but device 0 masks it anyway.
-        idx = jax.lax.axis_index(axis_name)
-        keep = (idx > 0).astype(acc.dtype)
-        for _ in range(n_hops):
-            tail = jax.lax.ppermute(acc[owned:], axis_name, perm_right)
-            acc = acc.at[owned:].set(0)
-            acc = acc.at[:halo].add(tail * keep)
+        if halo_exact and D > 1:
+            acc = _exact_wavefront_accumulate(acc0, run_tiles, owned, halo,
+                                              D, axis_name, perm_right)
+        else:
+            acc = run_tiles(acc0)
+
+            # forward the overhang [owned, ext) along the ring: each hop
+            # sends the current overhang right, zeroes it locally (no
+            # re-send), and adds the received rows at local [0, halo) —
+            # contributions still beyond the receiver's owned rows land back
+            # in the overhang and ride the next hop. The wrap from the
+            # ring's end carries only zeros (no tiles extend past the padded
+            # volume), but device 0 masks it anyway.
+            idx = jax.lax.axis_index(axis_name)
+            keep = (idx > 0).astype(acc.dtype)
+            for _ in range(n_hops):
+                tail = jax.lax.ppermute(acc[owned:], axis_name, perm_right)
+                acc = acc.at[owned:].set(0)
+                acc = acc.at[:halo].add(tail * keep)
 
         # argmax(a / w) == argmax(a): the weight sum is a positive per-voxel
         # scalar shared across classes, so skip the fp32 divide entirely
@@ -160,7 +212,8 @@ def predict_segmentation_multichip(engine: SlidingWindowEngine, params_list,
 def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
                                        params_list, volume: np.ndarray,
                                        mesh: Mesh,
-                                       axis_name: str = "space") -> np.ndarray:
+                                       axis_name: str = "space",
+                                       halo_exact: bool = False) -> np.ndarray:
     """Slab-parallel version of the s2d-domain sweep — the fastest
     single-chip path (engine.predict_segmentation_sweep_s2d) scaled over the
     mesh. Same structure as predict_segmentation_multichip (tiles assigned
@@ -276,14 +329,22 @@ def predict_segmentation_multichip_s2d(engine: SlidingWindowEngine,
                 a = jax.lax.dynamic_update_slice(a, cur + contrib, start)
             return a, None
 
-        acc, _ = jax.lax.scan(body, acc0, (coords, valid))
+        def run_tiles(a):
+            a, _ = jax.lax.scan(body, a, (coords, valid))
+            return a
 
-        idx = jax.lax.axis_index(axis_name)
-        keep = (idx > 0).astype(acc.dtype)
-        for _ in range(n_hops):
-            tail = jax.lax.ppermute(acc[owned_h:], axis_name, perm_right)
-            acc = acc.at[owned_h:].set(0)
-            acc = acc.at[:halo_h].add(tail * keep)
+        if halo_exact and D > 1:
+            acc = _exact_wavefront_accumulate(acc0, run_tiles, owned_h,
+                                              halo_h, D, axis_name,
+                                              perm_right)
+        else:
+            acc = run_tiles(acc0)
+            idx = jax.lax.axis_index(axis_name)
+            keep = (idx > 0).astype(acc.dtype)
+            for _ in range(n_hops):
+                tail = jax.lax.ppermute(acc[owned_h:], axis_name, perm_right)
+                acc = acc.at[owned_h:].set(0)
+                acc = acc.at[:halo_h].add(tail * keep)
 
         r = acc[:owned_h].reshape(owned_h, *plane_h, 8, K)
         cls8 = r.argmax(-1).astype(jnp.uint8)

@@ -103,6 +103,35 @@ def test_multichip_nonuniform_grid_exact_outside_halo(net_and_params):
         assert (seg[halo] == ref[halo]).mean() > 0.99
 
 
+def test_multichip_halo_exact_bit_identical(net_and_params):
+    """halo_exact=True: the wavefront ordering makes multi-chip output
+    voxel-IDENTICAL to the single-chip sweep on every row, halo included —
+    the opt-in validation mode (serving keeps the parallel reassociating
+    default)."""
+    net, params = net_and_params
+    space_mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("space",))
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32, tile_batch=4)
+    vol = np.random.RandomState(0).rand(1, 40, 12, 12).astype(np.float32)
+    seg_multi = predict_segmentation_multichip(eng, params, vol, space_mesh,
+                                               halo_exact=True)
+    seg_single = eng.predict_segmentation_sweep(params, vol)
+    np.testing.assert_array_equal(seg_multi, seg_single)
+
+
+def test_multichip_halo_exact_multihop(net_and_params):
+    """Exact mode with overhangs spanning multiple slabs (relay case)."""
+    net, params = net_and_params
+    space_mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("space",))
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32, tile_batch=2)
+    vol = np.random.RandomState(1).rand(1, 10, 9, 9).astype(np.float32)
+    seg = predict_segmentation_multichip(eng, params, vol, space_mesh,
+                                         halo_exact=True)
+    ref = eng.predict_segmentation_sweep(params, vol)
+    np.testing.assert_array_equal(seg, ref)
+
+
 def test_multichip_s2d_matches_single_chip_s2d():
     """Slab-parallel s2d sweep == single-chip s2d sweep away from halo rows
     (same even-floored grid, same block-layout accumulation)."""
@@ -148,3 +177,8 @@ def test_multichip_s2d_matches_single_chip_s2d():
         spill = max((s + 8 for s in starts if s < boundary), default=0)
         halo[boundary:min(spill, 40)] = True
     np.testing.assert_array_equal(seg_multi[~halo], seg_single[~halo])
+
+    # exact mode: every row bit-identical, halo included
+    seg_exact = predict_segmentation_multichip_s2d(eng, sp, vol, space_mesh,
+                                                   halo_exact=True)
+    np.testing.assert_array_equal(seg_exact, seg_single)
