@@ -42,22 +42,31 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(scal_ref, acc_ref, cls_ref, *maybe_acc_out,
             K: int, c8p: int, yb: int, Zh: int):
     x = acc_ref[0]                                     # (yb, Zh, c8p)
+    xf = x.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (yb, Zh, c8p), 2)
-    neg = jnp.finfo(x.dtype).min
     for o in range(8):
         lo = o * K
         win = (lane >= lo) & (lane < lo + K)
-        g = jnp.where(win, x, neg)
+        g = jnp.where(win, xf, jnp.float32(-3.4e38))
         m = jnp.max(g, axis=-1, keepdims=True)
-        # first-match index within the group (ties -> lowest class, matching
-        # jnp.argmax); non-max / out-of-window lanes propose K. Two separate
-        # selects, not `win & (g == m)`: Mosaic cannot relayout the i1 AND of
-        # a sublane-replicated iota mask with a broadcast-compare mask
-        # ("Invalid relayout: non-singleton dim replicated in destination",
-        # v5e hardware; interpret mode doesn't exercise layouts)
-        idx = jnp.where(g == m, lane - lo, K)
-        idx = jnp.where(win, idx, K)
-        cls_ref[0, o] = jnp.min(idx, axis=-1).astype(jnp.uint8)
+        # first-match argmax WITHOUT the `g == m` broadcast compare: Mosaic
+        # cannot relayout the i1 mask of a compare against a lane-reduced
+        # (replicated-layout) operand ("Invalid relayout: non-singleton
+        # logical dimension is replicated in destination but not in source",
+        # v5e hardware; interpret mode doesn't exercise layouts). Arithmetic
+        # instead: diff = m - g is >= 0 and == 0 exactly at max positions;
+        # TPUs flush subnormals, so any non-tie diff is a NORMAL f32
+        # (>= 1.18e-38) and two 1e20 factors saturate it past 1 — step is 0
+        # at ties, 1 elsewhere, reproducing jnp.argmax's lowest-index rule.
+        # The clamp sits BETWEEN the factors: XLA constant-folds
+        # `x * 1e20 * 1e20` to `x * inf` and `0 * inf` is NaN at the very
+        # positions we care about
+        step = jnp.minimum(jnp.minimum((m - g) * 1e20, 1.0) * 1e20, 1.0)
+        idxf = (lane - lo).astype(jnp.float32) + step * K
+        idxf = jnp.where(win, idxf, jnp.float32(K))
+        # Mosaic has no f32->u8 cast; go through i32 (hardware-verified)
+        cls_ref[0, o] = jnp.min(idxf, axis=-1).astype(jnp.int32).astype(
+            jnp.uint8)
     if maybe_acc_out:
         # retire consumed rows: zero the first n_zero VIRTUAL rows in place
         # (aliased output); later rows write back unchanged
@@ -113,6 +122,11 @@ def grouped_argmax(acc: jnp.ndarray, num_classes: int, n_rows: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
+        # explicit headroom: Mosaic's scoped demand (per-offset temporaries
+        # x 8 groups + pipelined blocks) exceeds an undersized default and
+        # fails the custom call's XLA stack allocation (v5e round-4 probe)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, acc)
     return tuple(out) if zeroing else out[0]

@@ -207,17 +207,18 @@ def fused_head_gauss_accumulate(acc: jnp.ndarray, feats: jnp.ndarray,
     )
     kernel = functools.partial(_kernel, p0h=p0h, pyh=pyh, pzh=pzh,
                                c8=c8p, f8=f8)
-    vmem_bytes = (2 * pyh * pzh * c8p * 4 + 2 * pyh * pzh * f8 * 2 +
-                  pyh * pzh * c8p * 4 + p0h * pyh * pzh * 8 * 4 +
-                  f8 * c8p * 2 + 8 * c8p * 4) + (1 << 21)
+    # a flat 100 MB limit, NOT a computed estimate: Mosaic's actual scoped
+    # demand includes dot/elementwise temporaries well beyond the declared
+    # scratch buffers, and an undersized vmem_limit_bytes fails XLA's stack
+    # allocation for the whole custom call ("Ran out of memory in memory
+    # space vmem" at bone_turbo's 48x80 half-res tile — v5e round-4 probe)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
         input_output_aliases={2: 0},  # acc (first tensor after prefetch)
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=min(
-                vmem_bytes, 100 * 1024 * 1024)),
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coords_h, nreal_arr, acc, feats, g_s2d, w, b.reshape(1, c8p),
       jnp.asarray(e))

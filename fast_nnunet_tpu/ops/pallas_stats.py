@@ -30,10 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, s_ref, q_ref, *, S: int, bs: int):
+def _kernel(x_ref, s_ref, q_ref, *, S: int, bs: int, B: int):
+    b = pl.program_id(0)
     j = pl.program_id(1)
 
-    @pl.when(j == 0)
+    @pl.when(jnp.logical_and(b == 0, j == 0))
     def _():
         s_ref[...] = jnp.zeros_like(s_ref)
         q_ref[...] = jnp.zeros_like(q_ref)
@@ -43,8 +44,15 @@ def _kernel(x_ref, s_ref, q_ref, *, S: int, bs: int):
         # tail block: rows past S are undefined padding — zero them out
         rows = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 0) + j * bs
         xf = jnp.where(rows < S, xf, 0.0)
-    s_ref[...] += jnp.sum(xf, axis=0, keepdims=True)
-    q_ref[...] += jnp.sum(xf * xf, axis=0, keepdims=True)
+    # outputs live as ONE (B, C) VMEM block across the whole grid (Mosaic's
+    # tile rule forbids (1, C) sub-blocks: the second-minor dim must be a
+    # multiple of 8 or the full array extent — hardware lowering rejected
+    # the per-row block spec). Accumulate into row b via a one-hot mask;
+    # (B, C) is tiny (tile_batch x channels) so the masked add is free.
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) == b
+              ).astype(jnp.float32)
+    s_ref[...] += onehot * jnp.sum(xf, axis=0)[None, :]
+    q_ref[...] += onehot * jnp.sum(xf * xf, axis=0)[None, :]
 
 
 def spatial_sum_sumsq(x: jnp.ndarray, *, interpret: bool = False):
@@ -61,13 +69,13 @@ def spatial_sum_sumsq(x: jnp.ndarray, *, interpret: bool = False):
     # block rows: multiple of the sublane tile; large enough to amortize DMA
     bs = min(-(-S // 8) * 8, 1024)
     grid = (B, -(-S // bs))
-    kernel = functools.partial(_kernel, S=S, bs=bs)
+    kernel = functools.partial(_kernel, S=S, bs=bs, B=B)
     s, q = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((1, bs, C), lambda b, j: (b, j, 0))],
-        out_specs=[pl.BlockSpec((1, C), lambda b, j: (b, 0)),
-                   pl.BlockSpec((1, C), lambda b, j: (b, 0))],
+        out_specs=[pl.BlockSpec((B, C), lambda b, j: (0, 0)),
+                   pl.BlockSpec((B, C), lambda b, j: (0, 0))],
         out_shape=[jax.ShapeDtypeStruct((B, C), jnp.float32),
                    jax.ShapeDtypeStruct((B, C), jnp.float32)],
         interpret=interpret,
