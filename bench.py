@@ -52,6 +52,7 @@ def main():
         # --tiny smoke run on CPU while the TPU tunnel is down)
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
+    from fast_nnunet_tpu.utils.trace_analysis import attribute_trace
     from __graft_entry__ import _bone_turbo_student
     from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
     from fast_nnunet_tpu.models.factory import get_network_from_plans
@@ -110,7 +111,12 @@ def main():
         # (ops/pallas_s2d.py) — opt-in pending the hardware A/B
         use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
         # per-offset argmax on the flat accumulator (ops/pallas_finalize.py)
-        use_pallas_finalize=os.environ.get("BENCH_PALLAS_FINALIZE", "0") == "1")
+        use_pallas_finalize=os.environ.get("BENCH_PALLAS_FINALIZE", "0") == "1",
+        # serialized-executable cache (inference/aot.py): run 1 of a cold
+        # process loads the compiled sweep from disk instead of paying the
+        # remote compile (the TRT saveEngine analogue). BENCH_AOT=0 disables.
+        aot_cache=(os.environ.get("BENCH_AOT_DIR", "/root/.fnn_aot")
+                   if os.environ.get("BENCH_AOT", "1") == "1" else None))
 
     rng = np.random.RandomState(0)
     vol = (rng.rand(1, size, size, size).astype(np.float32) - 0.5) * 2
@@ -118,6 +124,18 @@ def main():
     predict = engine.predict_segmentation
     if os.environ.get("BENCH_STREAM", "0") == "1":
         predict = lambda p, v: engine.predict_segmentation_sweep_streamed(p, v)  # noqa: E731
+    # multi-chip: slab-parallel s2d sweep over every device the day the
+    # bench machine has more than one chip (MULTICHIP_r03 validates this
+    # path on the virtual 8-mesh; BENCH_MULTICHIP=0 opts out)
+    if (jax.device_count() > 1 and use_s2d_sweep
+            and os.environ.get("BENCH_MULTICHIP", "1") == "1"):
+        from fast_nnunet_tpu.inference.sharded import \
+            predict_segmentation_multichip_s2d
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("space",))
+        print(f"multichip: slab-parallel s2d sweep over "
+              f"{jax.device_count()} devices", file=sys.stderr)
+        predict = lambda p, v: predict_segmentation_multichip_s2d(  # noqa: E731
+            engine, p, v, mesh)
 
     # warmup (compile) — the dev tunnel's remote-compile endpoint throws
     # transient 500s/UNAVAILABLEs (docs/Performance.md); retry a few times
@@ -136,19 +154,44 @@ def main():
         raise last_err
     assert seg.shape == (size, size, size)
 
+    # BENCH_TRACE=1: profile the first, middle, and last repeat and report
+    # per-run DEVICE leaf time next to the wall — separates program time
+    # from tunnel dispatch noise/drift (wall ranges 27..174 s for a constant
+    # ~11 s device time; docs/Performance.md round-3/4)
+    trace_runs = set()
+    if os.environ.get("BENCH_TRACE", "0") == "1":
+        trace_runs = {0, args.repeats // 2, args.repeats - 1}
+    device_times = {}
+
     times = []
     budget_end = time.perf_counter() + float(
         os.environ.get("BENCH_REPEAT_BUDGET_S", 360))
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        predict(params, vol)
-        times.append(time.perf_counter() - t0)
+    for i in range(args.repeats):
+        if i in trace_runs:
+            import tempfile
+            tdir = tempfile.mkdtemp(prefix="bench_trace_")
+            t0 = time.perf_counter()
+            with jax.profiler.trace(tdir):
+                predict(params, vol)
+            times.append(time.perf_counter() - t0)
+            try:
+                device_times[i] = round(attribute_trace(tdir)["total_s"], 2)
+            except Exception as e:  # noqa: BLE001 - diagnosis only
+                print("trace attribution failed:", repr(e)[:120],
+                      file=sys.stderr)
+        else:
+            t0 = time.perf_counter()
+            predict(params, vol)
+            times.append(time.perf_counter() - t0)
         # the dev tunnel's run-to-run variance is ~2x; stop repeating rather
         # than risk the caller's timeout (docs/Performance.md round-2 notes)
         if time.perf_counter() > budget_end:
             break
     best = min(times)
     print("per-run seconds:", [round(t, 2) for t in times], file=sys.stderr)
+    if device_times:
+        print("per-run DEVICE seconds (traced runs):", device_times,
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": f"sec/CT volume ({size}^3, {num_classes} classes, bone_turbo "

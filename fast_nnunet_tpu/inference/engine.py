@@ -38,6 +38,7 @@ Design (TPU-first, no translation of the CUDA producer-thread/queue machinery):
 import functools
 import itertools
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -101,7 +102,8 @@ class SlidingWindowEngine:
                  use_s2d_sweep: bool = False,
                  use_pallas_s2d: bool = False,
                  use_pallas_finalize: bool = False,
-                 pad_to_tile_batch: bool = False):
+                 pad_to_tile_batch: bool = False,
+                 aot_cache: str = None):
         self.network = network
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
@@ -149,6 +151,13 @@ class SlidingWindowEngine:
         # exported StableHLO artifacts have a FIXED batch dim: never shrink
         # the batch below tile_batch for small tile counts (pad instead)
         self.pad_to_tile_batch = bool(pad_to_tile_batch)
+        # serialized-executable cache dir (inference/aot.py — the TRT
+        # saveEngine analogue, ref docs/Engine.md:91): the s2d sweep program
+        # round-trips through disk so a cold process loads instead of paying
+        # the remote compile. None (or env FNN_AOT_CACHE) disables/enables.
+        if aot_cache is None:
+            aot_cache = os.environ.get("FNN_AOT_CACHE") or None
+        self.aot_cache = aot_cache
 
         if self.use_gaussian:
             g = compute_gaussian(self.patch_size).astype(np.float32)
@@ -1408,8 +1417,21 @@ class SlidingWindowEngine:
                                              len(coords_b), n_folds,
                                              int(vol_dev.shape[-1]),
                                              use_pallas=use_pallas)
-        return sweep(stacked, vol_dev, jnp.asarray(coords_b),
-                     jnp.asarray(valid_b))
+        args = (stacked, vol_dev, jnp.asarray(coords_b),
+                jnp.asarray(valid_b))
+        if self.aot_cache:
+            # serialized-executable round-trip (inference/aot.py): a cold
+            # process LOADS the compiled sweep instead of re-compiling it
+            akey = ("aot_s2d", vol_shape, starts_x, len(coords_b), n_folds,
+                    int(vol_dev.shape[-1]), use_pallas)
+            compiled = self._jit_cache.get(akey)
+            if compiled is None:
+                from .aot import aot_compile
+                compiled = aot_compile(sweep, args, self.aot_cache,
+                                       tag="s2d_sweep")
+                self._jit_cache[akey] = compiled
+            return compiled(*args)
+        return sweep(*args)
 
     def predict_segmentation_sweep_s2d(self, params_list,
                                        volume: np.ndarray) -> np.ndarray:
