@@ -76,6 +76,7 @@ def test_engine_volume_smaller_than_patch(tiny_net_and_params):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_engine_mirroring(tiny_net_and_params):
     net, params, _ = tiny_net_and_params
     eng = SlidingWindowEngine(net, PATCH, K, mirror_axes=(0, 1, 2), shape_bucket=4,
@@ -86,6 +87,7 @@ def test_engine_mirroring(tiny_net_and_params):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_engine_fold_ensembling_is_logit_mean(tiny_net_and_params):
     net, params, params2 = tiny_net_and_params
     eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4, compute_dtype=jnp.float32)
@@ -164,6 +166,7 @@ def test_sweep_single_chunk(tiny_net_and_params):
     np.testing.assert_array_equal(seg, ref)
 
 
+@pytest.mark.slow
 def test_sweep_fold_ensembled(tiny_net_and_params):
     net, params, params2 = tiny_net_and_params
     eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
@@ -228,6 +231,7 @@ def test_coset_sweep_odd_extents(tiny_net_and_params):
     np.testing.assert_array_equal(seg, ref)
 
 
+@pytest.mark.slow
 def test_coset_sweep_fold_ensembled(tiny_net_and_params):
     net, params, params2 = tiny_net_and_params
     eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
@@ -264,6 +268,7 @@ def test_streamed_sweep_is_grid_exact(tiny_net_and_params):
         eng.predict_segmentation_sweep(params, vol1))
 
 
+@pytest.mark.slow
 def test_streamed_sweep_matches_plain_sweep_when_grids_coincide(
         tiny_net_and_params):
     """On stride-aligned x extents the even-spread grid equals the uniform

@@ -63,6 +63,7 @@ def test_plain_unet_anisotropic_strides():
     assert out.shape == (1, 4, 16, 8, 3)
 
 
+@pytest.mark.slow
 def test_resenc_forward():
     kw = dict(ARCH_3D)
     del kw["n_conv_per_stage"]

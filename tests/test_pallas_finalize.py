@@ -33,6 +33,7 @@ def test_kernel_ties_take_first():
     assert (got == 0).all()
 
 
+@pytest.mark.slow
 def test_engine_s2d_sweep_pallas_finalize_matches_default():
     from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
     from fast_nnunet_tpu.models.factory import get_network_from_plans

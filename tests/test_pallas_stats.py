@@ -31,6 +31,7 @@ def test_kernel_bf16_accumulates_f32():
     np.testing.assert_allclose(np.asarray(s), ref.sum(1), rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_s2d_net_pallas_stats_matches_default():
     """Full s2d forward, use_pallas_stats on vs off: same masks, close
     logits (single-pass E[x^2] variance vs two-pass, f32 both ways)."""

@@ -94,6 +94,7 @@ def test_s2d_unsupported_architectures():
     assert make_s2d_engine_net(None, arch2, 2) is None
 
 
+@pytest.mark.slow
 def test_s2d_output_mode_is_pre_depth_to_space():
     """apply(s2d_output=True) must equal the plain output space_to_depth'd."""
     from fast_nnunet_tpu.models.s2d import space_to_depth
@@ -156,6 +157,7 @@ def test_s2d_sweep_matches_plain_engine():
     np.testing.assert_array_equal(seg_disp, seg_s2d)
 
 
+@pytest.mark.slow
 def test_s2d_sweep_fold_ensembled():
     from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
     arch = _arch()

@@ -87,6 +87,7 @@ def test_multichip_small_volume(net_and_params):
         assert (seg[halo] == ref[halo]).mean() > 0.99
 
 
+@pytest.mark.slow
 def test_multichip_nonuniform_grid_exact_outside_halo(net_and_params):
     """x = 26 yields the reference's non-uniform starts (0,4,7,11,14,18);
     the sharded path must place tiles identically to the single-chip sweep."""
@@ -132,6 +133,41 @@ def test_multichip_halo_exact_multihop(net_and_params):
     np.testing.assert_array_equal(seg, ref)
 
 
+@pytest.mark.slow
+def test_multichip_default_is_parallel_not_wavefront(net_and_params):
+    """Serialization canary: the DEFAULT multichip mode must run device
+    slabs in parallel. halo_exact intentionally wavefront-serializes (one
+    device active per stage), so its steady-state wall must be clearly
+    slower than the default's on the same volume — if this inverts or
+    equalizes, someone serialized the serving path. Wall-clock on the CPU
+    mesh is noisy; best-of-3 with a generous 1.2x threshold."""
+    import time
+
+    net, params = net_and_params
+    space_mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("space",))
+    eng = SlidingWindowEngine(net, PATCH, K, shape_bucket=4,
+                              compute_dtype=jnp.float32, tile_batch=4)
+    vol = np.random.RandomState(0).rand(1, 96, 24, 24).astype(np.float32)
+
+    def best_of(fn, n=3):
+        fn()  # compile + warmup
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fast = best_of(lambda: predict_segmentation_multichip(
+        eng, params, vol, space_mesh))
+    t_exact = best_of(lambda: predict_segmentation_multichip(
+        eng, params, vol, space_mesh, halo_exact=True))
+    assert t_fast < t_exact * 1.2, \
+        f"default multichip ({t_fast:.2f}s) not faster than the " \
+        f"wavefront-serialized exact mode ({t_exact:.2f}s) - serialized?"
+
+
+@pytest.mark.slow
 def test_multichip_s2d_matches_single_chip_s2d():
     """Slab-parallel s2d sweep == single-chip s2d sweep away from halo rows
     (same even-floored grid, same block-layout accumulation)."""

@@ -202,6 +202,7 @@ def test_turbo_fold_ensemble(turbo_setup):
 
 
 # ------------------------------------------------------------- multi-channel
+@pytest.mark.slow
 def test_turbo_multichannel_mr(tmp_path):
     """Multi-channel (MR-style) device normalization: a [ct, zscore] config
     on raw data must match a [nonorm, nonorm] config fed the host-normalized
