@@ -43,6 +43,10 @@ def main():
                       deep_supervision=False)
     s2d = make_s2d_engine_net(net, _bone_turbo_student_kwargs(), num_classes,
                               dtype=jnp.bfloat16)
+    if s2d is None:
+        print("error: architecture is not s2d-transformable "
+              "(make_s2d_engine_net returned None)", file=sys.stderr)
+        sys.exit(1)
     params = s2d.convert_params(params)
     engine = SlidingWindowEngine(
         s2d, patch, num_classes, tile_step_size=0.5, use_gaussian=True,
