@@ -1191,6 +1191,15 @@ class SlidingWindowEngine:
         g = self._gaussian_for(acc_dtype)  # (p0, py, pz), x10 for <=16-bit
         g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
             0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
+        if use_pallas:
+            # pre-pad the gaussian to the kernel's 128-lane HBM layout ONCE
+            # (eager, outside the jitted sweep): padding inside the per-batch
+            # scan body materialized 94 MB of zeros per tile batch — ~20 GB
+            # of pure pad traffic per 512^3 sweep (round-4 trace: the
+            # fusion(misc) bucket grew 2.90 -> 6.25 s)
+            g_s2d_k = jnp.concatenate(
+                [g_s2d.astype(jnp.float32),
+                 jnp.zeros((p0h, pyh, pzh, 120), jnp.float32)], axis=-1)
         plane = vol_shape[1:]  # (Yp, Zp) both even
         plane_h = (plane[0] // 2, plane[1] // 2)
         n_starts = len(starts_x)
@@ -1252,7 +1261,7 @@ class SlidingWindowEngine:
                 else jnp.zeros((C8,), jnp.bfloat16)
             coords_h = (coords_b[:, 1:] // 2).astype(jnp.int32)
             return fused_head_gauss_accumulate(
-                a, feats.astype(jnp.bfloat16), g_s2d.astype(jnp.float32),
+                a, feats.astype(jnp.bfloat16), g_s2d_k,
                 w_bf, b_bf, coords_h, nreal_b, row_base,
                 interpret=self._pallas_interpret)
 
