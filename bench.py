@@ -1,13 +1,23 @@
-"""Headline benchmark: whole-volume sliding-window segmentation, bone_turbo
-config (ref engine/config/fast_nnunet_bone_turbo.ini: 61 classes, patch
-160x96x96, step 0.5, gaussian on, mirroring off), 512^3 CT, distilled r=2
-student — the reference's C++/TensorRT engine does the comparable abdominal
-512x512x500 CT in 4.5-7.5 s on RTX-class GPUs (docs/Engine.md:33); we take the
-6.0 s midpoint as baseline.
+"""Headline benchmark: the reference engine's own contract — an abdominal
+512x512x500 CT through the COMPLETE bone_turbo inference pipeline (ref
+engine/config/fast_nnunet_bone_turbo.ini: 61 classes, patch 160x96x96, step
+0.5, gaussian on, mirroring off, target spacing (2.0, 0.977, 0.977)) with a
+distilled r=2 student. The reference's C++/TensorRT engine does this in
+4.5-7.5 s on RTX-class GPUs (docs/Engine.md:33); we take the 6.0 s midpoint
+as baseline.
+
+Like the reference engine (and nnU-Net's pipeline contract), prediction
+RESAMPLES to the config's target spacing first: the sliding window runs on
+the ~250x410x410 resampled grid, and the mask reverts to the original
+512x512x500 grid — all in ONE device call (TurboPipeline). Rounds 1-3
+benchmarked a raw-grid 512^3 sweep instead (no resample — 3.04x the
+reference's voxel count, a strictly harder job than the baseline's);
+that mode remains as --raw_grid.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Usage: python bench.py [--tiny] [--size N] [--classes K] [--repeats R]
+Usage: python bench.py [--tiny] [--raw_grid] [--size N] [--classes K]
+           [--repeats R] [--e2e]
 """
 import argparse
 import json
@@ -34,12 +44,18 @@ def main():
                          "read -> device preprocess -> sweep -> revert -> "
                          "write (TurboPipeline), the reference engine's "
                          "whole-pipeline contract (ref docs/Engine.md:31-33)")
+    ap.add_argument("--raw_grid", action="store_true",
+                    help="rounds-1..3 mode: sliding-window over the RAW "
+                         "size^3 grid with no target-spacing resample — "
+                         "3.04x the reference baseline's voxel count")
     ap.add_argument("--no_air_skip", action="store_true",
-                    help="(--e2e) disable empty-tile skipping for A/B")
+                    help="disable empty-tile skipping for A/B")
     args = ap.parse_args()
 
     if args.e2e:
         return main_e2e(args)
+    if not args.raw_grid and not args.tiny:
+        return main_turbo(args)
 
     import os
 
@@ -196,6 +212,111 @@ def main():
     print(json.dumps({
         "metric": f"sec/CT volume ({size}^3, {num_classes} classes, bone_turbo "
                   f"sliding-window, r=2 student)",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / best, 2),
+    }))
+
+
+def main_turbo(args):
+    """Default mode: the reference-equivalent predict contract. A
+    512x512x500 HU CT volume ALREADY IN MEMORY -> one device call
+    (normalize + trilinear resample to bone_turbo target spacing +
+    s2d sliding-window sweep + nearest revert to the original grid) ->
+    uint8 mask in memory. File IO is measured separately by --e2e."""
+    import os
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+    from __graft_entry__ import _bone_turbo_student, _bone_turbo_student_kwargs
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.inference.turbo import TurboConfig, TurboPipeline
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+    from fast_nnunet_tpu.utils.synthetic_ct import make_synthetic_ct
+    from fast_nnunet_tpu.utils.trace_analysis import attribute_trace
+
+    num_classes = args.classes
+    net = _bone_turbo_student(num_classes=num_classes, dtype=jnp.bfloat16)
+    patch = (96, 96, 160)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, *patch, 1), jnp.bfloat16),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, _bone_turbo_student_kwargs(), num_classes,
+                              dtype=jnp.bfloat16)
+    params = s2d.convert_params(params)
+    engine = SlidingWindowEngine(
+        s2d, patch, num_classes, tile_step_size=0.5, use_gaussian=True,
+        mirror_axes=(), compute_dtype=jnp.bfloat16, acc_dtype=jnp.float32,
+        sweep_acc_dtype=jnp.bfloat16, shape_bucket=32,
+        tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
+        max_accumulator_bytes=4 * 1024 ** 3, use_s2d_sweep=True,
+        use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
+        use_pallas_finalize=os.environ.get(
+            "BENCH_PALLAS_FINALIZE", "0") == "1",
+        aot_cache=(os.environ.get("BENCH_AOT_DIR", "/root/.fnn_aot")
+                   if os.environ.get("BENCH_AOT", "1") == "1" else None))
+    cfg = TurboConfig.from_ini(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "engine", "config", "fast_nnunet_bone_turbo.ini"))
+    pipe = TurboPipeline(engine, cfg, air_skip=not args.no_air_skip)
+
+    size = (args.size, args.size, max(64, int(round(args.size * 500 / 512))))
+    vol, spacing = make_synthetic_ct(size, (0.8, 0.8, 1.0))
+
+    last_err = None
+    for _ in range(int(os.environ.get("BENCH_WARMUP_TRIES", 3))):
+        try:
+            seg = pipe.predict_volume(params, vol, spacing)
+            last_err = None
+            break
+        except Exception as e:  # noqa: BLE001 - backend errors vary by layer
+            last_err = e
+            print("warmup failed, retrying:", repr(e)[:200], file=sys.stderr)
+            time.sleep(30)
+    if last_err is not None:
+        raise last_err
+    assert seg.shape == vol.shape, (seg.shape, vol.shape)
+
+    trace_runs = set()
+    if os.environ.get("BENCH_TRACE", "0") == "1":
+        trace_runs = {0, args.repeats // 2, args.repeats - 1}
+    device_times = {}
+    times = []
+    budget_end = time.perf_counter() + float(
+        os.environ.get("BENCH_REPEAT_BUDGET_S", 360))
+    for i in range(args.repeats):
+        if i in trace_runs:
+            import tempfile
+            tdir = tempfile.mkdtemp(prefix="bench_trace_")
+            t0 = time.perf_counter()
+            with jax.profiler.trace(tdir):
+                pipe.predict_volume(params, vol, spacing)
+            times.append(time.perf_counter() - t0)
+            try:
+                device_times[i] = round(attribute_trace(tdir)["total_s"], 2)
+            except Exception as e:  # noqa: BLE001 - diagnosis only
+                print("trace attribution failed:", repr(e)[:120],
+                      file=sys.stderr)
+        else:
+            t0 = time.perf_counter()
+            pipe.predict_volume(params, vol, spacing)
+            times.append(time.perf_counter() - t0)
+        if time.perf_counter() > budget_end:
+            break
+    best = min(times)
+    print("per-run seconds:", [round(t, 2) for t in times], file=sys.stderr)
+    if device_times:
+        print("per-run DEVICE seconds (traced runs):", device_times,
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": f"sec/CT volume ({size[0]}x{size[1]}x{size[2]} CT @ "
+                  f"0.8x0.8x1.0mm, {num_classes} classes, bone_turbo "
+                  f"pipeline: device resample to target spacing + "
+                  f"sliding-window step 0.5 + revert, r=2 student)",
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / best, 2),

@@ -301,8 +301,24 @@ class TurboPipeline:
                                          *params_list)
         full, coords_b, valid_b = self._full_program(
             vol_t.shape[1:], new_shape, vol_shape, len(params_list))
-        seg = np.asarray(full(stacked, jnp.asarray(np.ascontiguousarray(vol_t)),
-                              coords_b, valid_b))
+        args = (stacked, jnp.asarray(np.ascontiguousarray(vol_t)),
+                coords_b, valid_b)
+        # serialized-executable round-trip (inference/aot.py, the TRT
+        # saveEngine analogue): when the wrapped engine carries an aot_cache
+        # dir, a cold process LOADS the whole-pipeline executable instead of
+        # paying the remote compile
+        aot_dir = getattr(eng, "aot_cache", None)
+        if aot_dir:
+            akey = ("aot_full", volume.shape, str(volume.dtype), new_shape,
+                    vol_shape, len(params_list), self.air_skip)
+            fn = self._jit_cache.get(akey)
+            if fn is None:
+                from .aot import aot_compile
+                fn = aot_compile(full, args, aot_dir, tag="turbo_full")
+                self._jit_cache[akey] = fn
+            seg = np.asarray(fn(*args))
+        else:
+            seg = np.asarray(full(*args))
         return np.transpose(seg, cfg.transpose_backward)
 
     @classmethod
