@@ -107,6 +107,10 @@ if __name__ == "__main__":
         try:
             run_variant(n)
         except Exception as e:  # noqa: BLE001 - record and continue the sweep
+            import traceback
+            with open(LOG, "a") as f:
+                f.write(f"\n=== {n} FULL TRACEBACK ===\n")
+                f.write(traceback.format_exc())
             msg = {"variant": n, "error": repr(e)[:400]}
             with open(LOG, "a") as f:
                 f.write(json.dumps(msg) + "\n")
