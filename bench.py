@@ -262,7 +262,12 @@ def main_turbo(args):
     cfg = TurboConfig.from_ini(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "engine", "config", "fast_nnunet_bone_turbo.ini"))
-    pipe = TurboPipeline(engine, cfg, air_skip=not args.no_air_skip)
+    # host-side nearest revert: D2H ships the ~3x-smaller target-spacing
+    # mask and the host replays jax's exact nearest index map — a win when
+    # the device link is slow (the dev tunnel), a wash on real PCIe
+    pipe = TurboPipeline(engine, cfg, air_skip=not args.no_air_skip,
+                         host_revert=os.environ.get(
+                             "BENCH_HOST_REVERT", "1") == "1")
 
     size = (args.size, args.size, max(64, int(round(args.size * 500 / 512))))
     vol, spacing = make_synthetic_ct(size, (0.8, 0.8, 1.0))

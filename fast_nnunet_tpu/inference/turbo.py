@@ -124,16 +124,33 @@ class TurboConfig:
             use_gaussian=cp["inference"].getboolean("use_gaussian", True))
 
 
+def _nearest_revert_host(seg: np.ndarray, out_shape) -> np.ndarray:
+    """Nearest-neighbor upsample matching jax.image.resize(method="nearest")
+    voxel-for-voxel: per axis, index = floor((i + 0.5) * in / out) computed in
+    float32 (jax._src.image.scale._resize_nearest's exact rule)."""
+    idx = [np.floor((np.arange(n, dtype=np.float32) + 0.5)
+                    * np.float32(m) / np.float32(n)).astype(np.int32)
+           for m, n in zip(seg.shape, out_shape)]
+    return seg[np.ix_(*idx)]
+
+
 class TurboPipeline:
     def __init__(self, engine, config: TurboConfig, air_skip: bool = False,
-                 air_margin_hu: float = 200.0):
+                 air_margin_hu: float = 200.0, host_revert: bool = False):
         """engine: a SlidingWindowEngine wrapping an S2DPlainConvUNet (built
         via make_s2d_engine_net + convert_params) whose patch/classes match
         `config` — the turbo path always runs the s2d-domain sweep.
         air_skip: drop tile batches whose voxels are all below
-        lower_bound + air_margin_hu (pre-normalization HU)."""
+        lower_bound + air_margin_hu (pre-normalization HU).
+        host_revert: fetch the TARGET-SPACING-grid mask and do the nearest
+        revert to the original grid on the host (same half-pixel-center
+        index map as jax.image.resize; voxel-identical). D2H moves the
+        ~3x-smaller coarse mask instead of the original-grid mask — a win
+        whenever the device link is the bottleneck (the dev tunnel runs at
+        tens of MB/s; production PCIe makes this a wash)."""
         self.engine = engine
         self.config = config
+        self.host_revert = bool(host_revert)
         ch0 = config.channels[0]
         if air_skip and ch0["scheme"] != "ct":
             print("[turbo] air skipping needs a CT (HU-calibrated) channel 0; "
@@ -167,7 +184,8 @@ class TurboPipeline:
         rescale-to-01, rgb/255, or none — ref
         distillation/nnunetv2/preprocessing/normalization/default_normalization_schemes.py:27-97)."""
         key = ("full", in_shape, new_shape, vol_shape, n_folds,
-               self.air_skip, round(float(self.air_threshold), 6))
+               self.air_skip, round(float(self.air_threshold), 6),
+               self.host_revert)
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
@@ -228,9 +246,16 @@ class TurboPipeline:
         yi = np.asarray(flat[:, 1] // 8, np.int32)
         zi = np.asarray(flat[:, 2] // 8, np.int32)
 
+        # plans transpose runs ON DEVICE (XLA folds it into the resample
+        # gather): uploading the reader's original-order buffer avoids a
+        # host-side strided copy of the whole volume (~0.65 s for a 512^3
+        # int16 CT on a 1-core host) per prediction
+        t_fwd = (0,) + tuple(a + 1 for a in cfg.transpose_forward)
+
         @jax.jit
         def full(stacked_params, raw, coords_b_d, valid_b_d):
-            # raw: (C, *in_shape) in the on-disk dtype
+            # raw: (C, *untransposed in_shape) in the on-disk dtype
+            raw = jnp.transpose(raw, t_fwd)
             chans = [_normalize(raw[c].astype(jnp.float32), cfg.channels[c])
                      for c in range(n_ch)]
             # one batched trilinear resize over all channels
@@ -265,6 +290,8 @@ class TurboPipeline:
                 seg = sweep(stacked_params, xp, coords_b_d, valid_b_d)
 
             s = lax.slice(seg, (0, 0, 0), new_shape)
+            if self.host_revert:
+                return s  # coarse target-spacing mask; host does the revert
             return jax.image.resize(s, in_shape, method="nearest")
 
         entry = (full, jnp.asarray(coords_b), jnp.asarray(valid_b))
@@ -287,6 +314,8 @@ class TurboPipeline:
         assert volume.shape[0] == cfg.num_input_channels, \
             (f"{volume.shape[0]} input channels but TurboConfig declares "
              f"{cfg.num_input_channels} normalization schemes")
+        # view only — shape/spacing bookkeeping; the actual transpose is
+        # inside the device program (see _full_program)
         vol_t = np.transpose(volume,
                              [0] + [a + 1 for a in cfg.transpose_forward])
         spacing_t = [float(spacing[a]) for a in cfg.transpose_forward]
@@ -301,7 +330,7 @@ class TurboPipeline:
                                          *params_list)
         full, coords_b, valid_b = self._full_program(
             vol_t.shape[1:], new_shape, vol_shape, len(params_list))
-        args = (stacked, jnp.asarray(np.ascontiguousarray(vol_t)),
+        args = (stacked, jnp.asarray(np.ascontiguousarray(volume)),
                 coords_b, valid_b)
         # serialized-executable round-trip (inference/aot.py, the TRT
         # saveEngine analogue): when the wrapped engine carries an aot_cache
@@ -319,13 +348,15 @@ class TurboPipeline:
             seg = np.asarray(fn(*args))
         else:
             seg = np.asarray(full(*args))
+        if self.host_revert and seg.shape != vol_t.shape[1:]:
+            seg = _nearest_revert_host(seg, vol_t.shape[1:])
         return np.transpose(seg, cfg.transpose_backward)
 
     @classmethod
     def from_model_folder(cls, model_folder: str, fold=0,
                           checkpoint_name: str = "checkpoint_final.fnnx",
                           air_skip: bool = True, tile_batch: int = 8,
-                          compute_dtype=None):
+                          compute_dtype=None, **pipeline_kwargs):
         """Build (pipeline, params) from a trained model folder: loads the
         checkpoint, re-parameterizes the network with the space-to-depth
         transform (models/s2d.py; requires the standard PlainConvUNet outer
@@ -416,7 +447,8 @@ class TurboPipeline:
             use_pallas_s2d=os.environ.get("FNN_PALLAS_S2D", "0") == "1",
             use_pallas_finalize=os.environ.get(
                 "FNN_PALLAS_FINALIZE", "0") == "1")
-        return cls(engine, config, air_skip=air_skip), params
+        return cls(engine, config, air_skip=air_skip,
+                   **pipeline_kwargs), params
 
     def predict_file(self, params_list, input_file,
                      output_file: str) -> dict:
@@ -458,15 +490,20 @@ def turbo_predict_entry():
     ap.add_argument("--no_air_skip", action="store_true",
                     help="disable empty-tile (air) skipping")
     ap.add_argument("--tile_batch", type=int, default=8)
+    ap.add_argument("--host_revert", action="store_true",
+                    help="D2H the coarse target-spacing mask and replay the "
+                    "nearest revert on host (voxel-identical; wins when the "
+                    "device link is slow). Also FNN_HOST_REVERT=1.")
     args = ap.parse_args()
 
     from ..utils.misc import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     pipe, params = TurboPipeline.from_model_folder(
         args.m, args.f, args.chk, air_skip=not args.no_air_skip,
-        tile_batch=args.tile_batch)
+        tile_batch=args.tile_batch,
+        host_revert=args.host_revert or os.environ.get(
+            "FNN_HOST_REVERT", "0") == "1")
 
-    import os
     if os.path.isdir(args.i):
         os.makedirs(args.o, exist_ok=True)
         from ..utils.io import subfiles

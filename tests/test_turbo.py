@@ -106,6 +106,40 @@ def test_turbo_matches_host_path(turbo_setup):
     assert agree > 0.97, f"turbo/host path agreement too low: {agree}"
 
 
+def test_nearest_revert_host_matches_jax():
+    """_nearest_revert_host replays jax.image.resize(method="nearest")'s
+    half-pixel-center index map voxel-for-voxel, including awkward
+    non-integer ratios and upsample/downsample mixes per axis."""
+    from fast_nnunet_tpu.inference.turbo import _nearest_revert_host
+    rng = np.random.RandomState(11)
+    for in_shape, out_shape in [((7, 9, 5), (13, 30, 26)),
+                                ((16, 8, 16), (16, 17, 5)),
+                                ((3, 3, 3), (512, 7, 1)),
+                                ((12, 20, 9), (12, 20, 9))]:
+        seg = rng.randint(0, 61, size=in_shape).astype(np.uint8)
+        ref = np.asarray(jax.image.resize(jnp.asarray(seg), out_shape,
+                                          method="nearest"))
+        np.testing.assert_array_equal(_nearest_revert_host(seg, out_shape),
+                                      ref)
+
+
+def test_turbo_host_revert_voxel_identical(turbo_setup):
+    """host_revert=True (D2H the coarse target-spacing mask, replay the
+    nearest index map on host) must be voxel-identical to the on-device
+    revert for every transpose/anisotropy combination."""
+    eng, cfg, sp, net, params = turbo_setup
+    rng = np.random.RandomState(9)
+    vol = np.full((28, 24, 21), -1000.0, np.float32)
+    vol[5:23, 4:20, 3:17] = rng.rand(18, 16, 14) * 400 - 60
+    spacing = (1.0, 0.8, 1.5)
+
+    base = TurboPipeline(eng, cfg, host_revert=False).predict_volume(
+        sp, vol, spacing)
+    host = TurboPipeline(eng, cfg, host_revert=True).predict_volume(
+        sp, vol, spacing)
+    np.testing.assert_array_equal(host, base)
+
+
 @pytest.mark.slow
 def test_turbo_air_skip(turbo_setup):
     eng, cfg, sp, net, params = turbo_setup
