@@ -26,10 +26,24 @@ import numpy as np
 
 _MAGIC = b"b2frame\x00"
 
-# chunk flag bits (blosc1-compatible byte 2)
+# chunk flag bits (byte 2, shared by the blosc1 and blosc2 chunk layouts)
 _FLAG_SHUFFLE = 0x1
 _FLAG_MEMCPYED = 0x2
-_CODEC_ZSTD = 5  # upper 3 bits of flags
+_FLAG_BITSHUFFLE = 0x4
+_FLAG_NONSPLIT = 0x10  # blocks are NOT split into per-typesize streams
+
+# version byte (byte 0) decides the header layout: <=2 is the classic
+# 16-byte blosc1 header (c-blosc writes 2), >=3 is the 32-byte blosc2
+# extended header (c-blosc2 stable writes 5 = BLOSC2_VERSION_FORMAT_STABLE)
+_V_BLOSC1 = 2
+_V_BLOSC2 = 5
+
+# codec ids live in the upper 3 bits of flags but the NUMBERING DIFFERS
+# between the two layouts (c-blosc blosc.h vs c-blosc2 blosc2.h)
+_CODECS_V1 = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+_CODECS_V2 = {0: "blosclz", 1: "lz4", 2: "lz4hc", 3: "snappy", 4: "zlib",
+              5: "zstd"}
+_CODEC_ZSTD = 5  # blosc2 extended numbering (what compress_chunk writes)
 
 # blosc2_flags (byte 0x1F) special-value encoding
 _SPECIAL_ZERO = 2
@@ -60,7 +74,9 @@ def _unshuffle(data: bytes, typesize: int) -> bytes:
 
 def compress_chunk(data: bytes, typesize: int, blocksize: int,
                    clevel: int = 8, shuffle: bool = True) -> bytes:
-    """One blosc2 chunk (32-byte extended header, zstd, non-split blocks)."""
+    """One blosc2 chunk: 32-byte extended header (version 5, the stable
+    c-blosc2 layout), zstd, non-split blocks (zstd never splits —
+    README_CHUNK_FORMAT.rst flag bit 0x10)."""
     import zstandard
     nbytes = len(data)
     nblocks = max(1, -(-nbytes // blocksize))
@@ -71,21 +87,27 @@ def compress_chunk(data: bytes, typesize: int, blocksize: int,
         if shuffle:
             raw = _shuffle(raw, typesize)
         comp = cctx.compress(raw)
-        if len(comp) >= len(raw):  # store raw (negative csize marks it)
-            blocks.append((-len(raw), raw))
+        if len(comp) >= len(raw):
+            # stored raw: blosc's convention is csize == uncompressed size
+            blocks.append((len(raw), raw))
         else:
             blocks.append((len(comp), comp))
 
     header = bytearray(32)
-    header[0] = 2  # blosc2 format version
+    header[0] = _V_BLOSC2
     header[1] = 1
-    flags = (_CODEC_ZSTD << 5)
+    flags = (_CODEC_ZSTD << 5) | _FLAG_NONSPLIT
     if shuffle:
         flags |= _FLAG_SHUFFLE
     header[2] = flags
     header[3] = typesize if typesize < 256 else 0
     struct.pack_into("<i", header, 4, nbytes)
     struct.pack_into("<i", header, 8, blocksize)
+    if shuffle:
+        # extended-header filter pipeline (bytes 0x10-0x15): blosc2 readers
+        # use THIS, not the compat flag bit; shuffle = filter code 1 in the
+        # last slot (where c-blosc2 itself registers it)
+        header[0x15] = 1
     bstart_section = 4 * nblocks
     payload = bytearray()
     bstarts = []
@@ -99,33 +121,73 @@ def compress_chunk(data: bytes, typesize: int, blocksize: int,
         + bytes(payload)
 
 
+def _chunk_codec_name(version: int, flags: int) -> str:
+    table = _CODECS_V1 if version <= _V_BLOSC1 else _CODECS_V2
+    return table.get(flags >> 5, f"unknown({flags >> 5})")
+
+
 def decompress_chunk(chunk: bytes) -> bytes:
-    """Inverse of compress_chunk; also handles memcpyed chunks and the
-    blosc1-style 16-byte-header layout."""
+    """Inverse of compress_chunk, and a from-spec decoder for real c-blosc /
+    c-blosc2 chunks: 16-byte blosc1 headers (version <= 2, e.g. libblosc1
+    output — validated against the actual C library in
+    tests/fixtures/blosc1_real.npz), 32-byte extended headers (version >= 3),
+    memcpyed chunks, split blocks (flag 0x10 clear: typesize streams per
+    block), and the zstd/zlib codecs in both layouts' numberings."""
     import zstandard
     version, _, flags, typesize = chunk[0], chunk[1], chunk[2], chunk[3]
     nbytes, blocksize, cbytes = struct.unpack_from("<iii", chunk, 4)
+    hdr = 16 if version <= _V_BLOSC1 else 32
     if flags & _FLAG_MEMCPYED:
-        hdr = 32 if version >= 2 else 16
         return bytes(chunk[hdr:hdr + nbytes])
-    codec = flags >> 5
-    hdr = 32 if version >= 2 else 16
+    if version == _V_BLOSC1 and len(chunk) >= 32:
+        # disambiguate our own pre-round-4 writer (version byte 2 but a
+        # 32-byte extended header): valid bstarts must point past the
+        # bstart table and inside cbytes
+        nblocks = max(1, -(-nbytes // blocksize))
+        (first,) = struct.unpack_from("<i", chunk, 16)
+        if not (16 + 4 * nblocks <= first < cbytes):
+            hdr = 32
+    codec = _chunk_codec_name(
+        _V_BLOSC1 if hdr == 16 else max(version, 3), flags)
+    if flags & _FLAG_BITSHUFFLE:
+        raise NotImplementedError(
+            "pure-python b2nd fallback: bitshuffle not supported "
+            "(install blosc2)")
     nblocks = max(1, -(-nbytes // blocksize))
     bstarts = struct.unpack_from(f"<{nblocks}i", chunk, hdr)
-    dctx = zstandard.ZstdDecompressor() if codec == _CODEC_ZSTD else None
+    if codec == "zstd":
+        dctx = zstandard.ZstdDecompressor()
+        dec = lambda blob, n: dctx.decompress(blob, max_output_size=n)  # noqa: E731
+    elif codec == "zlib":
+        import zlib
+        dec = lambda blob, n: zlib.decompress(blob)  # noqa: E731
+    else:
+        raise NotImplementedError(
+            f"pure-python b2nd fallback: codec {codec} not supported "
+            f"(install blosc2)")
+    # split mode (flag 0x10 CLEAR): each block holds `typesize` independent
+    # csize-prefixed streams (the shuffle lanes), each blocksize/typesize
+    # raw bytes; non-split: one stream of the whole block
+    nstreams = 1 if (flags & _FLAG_NONSPLIT) or typesize <= 1 else typesize
     out = bytearray()
     for i, bs in enumerate(bstarts):
         bsize = min(blocksize, nbytes - i * blocksize)
-        (csize,) = struct.unpack_from("<i", chunk, bs)
-        blob = chunk[bs + 4: bs + 4 + abs(csize)]
-        if csize < 0:  # stored uncompressed
-            raw = bytes(blob)
-        elif codec == _CODEC_ZSTD:
-            raw = dctx.decompress(blob, max_output_size=bsize)
-        else:
-            raise NotImplementedError(
-                f"pure-python b2nd fallback: codec {codec} not supported "
-                f"(install blosc2)")
+        if bsize % nstreams:
+            nstreams = 1  # blosc only splits typesize-aligned blocks
+        ssize = bsize // nstreams
+        pos = bs
+        raws = []
+        for s in range(nstreams):
+            (csize,) = struct.unpack_from("<i", chunk, pos)
+            blob = chunk[pos + 4: pos + 4 + abs(csize)]
+            pos += 4 + abs(csize)
+            if csize < 0 or csize == ssize:
+                # stored uncompressed: blosc marks it csize == raw size
+                # (negative csize = our own pre-round-4 writer's marker)
+                raws.append(bytes(blob))
+            else:
+                raws.append(dec(blob, ssize))
+        raw = b"".join(raws)
         if flags & _FLAG_SHUFFLE:
             raw = _unshuffle(raw, typesize)
         out += raw
@@ -136,9 +198,14 @@ def decompress_chunk(chunk: bytes) -> bytes:
 def write_b2nd(path: str, array: np.ndarray,
                chunks: Optional[Sequence[int]] = None,
                blocks: Optional[Sequence[int]] = None,
-               clevel: int = 8) -> None:
-    """Serialize `array` as a blosc2 NDim contiguous frame (subset)."""
+               clevel: int = 8, _compress=None) -> None:
+    """Serialize `array` as a blosc2 NDim contiguous frame (subset).
+    `_compress(data, typesize, blocksize, clevel)` overrides the chunk
+    compressor (used by the fixture generator to embed chunks produced by
+    the real C blosc library)."""
     import msgpack
+    if _compress is None:
+        _compress = compress_chunk
     a = np.ascontiguousarray(array)
     shape = list(a.shape)
     if chunks is None:
@@ -159,7 +226,7 @@ def write_b2nd(path: str, array: np.ndarray,
                    for i, c, s in zip(idx, chunks, shape))
         sub = np.zeros(chunks, a.dtype)
         sub[tuple(slice(0, x.stop - x.start) for x in sl)] = a[sl]
-        chunks_bin.append(compress_chunk(sub.tobytes(), typesize,
+        chunks_bin.append(_compress(sub.tobytes(), typesize,
                                          block_elems * typesize, clevel))
 
     # b2nd metalayer: [version, ndim, shape, chunks, blocks, 0, dtype_str]

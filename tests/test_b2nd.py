@@ -1,9 +1,14 @@
 """blosc2 .b2nd read + migration CLI (round-2 VERDICT missing #5).
 
-The image has no blosc2 package, so these tests exercise the pure-Python
-fallback against fixtures from our own spec-following writer (round-trip).
-Where blosc2 IS installed (any real nnU-Net v2 environment), read_b2nd uses
-it directly and the fallback is never hit.
+The image has no blosc2 package, so the pure-Python fallback is pinned two
+ways: (1) round-trip against our own spec-following writer, and (2) against
+COMMITTED chunks produced by the REAL C blosc library (libblosc1 via ctypes
+— tests/fixtures/blosc1_real.npz, generator alongside), which exercises the
+genuine on-disk stream format (16-byte blosc1 headers, blosc1 codec
+numbering, per-block csize-prefixed zstd/zlib streams, shuffle lanes,
+memcpy and stored-raw blocks) that c-blosc2 shares below the header. Where
+blosc2 IS installed (any real nnU-Net v2 environment), read_b2nd uses it
+directly and the fallback is never hit.
 """
 import os
 import sys
@@ -13,6 +18,40 @@ import pytest
 
 from fast_nnunet_tpu.utils.b2nd import (compress_chunk, decompress_chunk,
                                         read_b2nd, write_b2nd)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_real_libblosc_chunks_decode():
+    """Every committed chunk compressed by the actual C blosc library must
+    decode byte-identically through the pure-python fallback."""
+    with np.load(os.path.join(FIXTURES, "blosc1_real.npz")) as z:
+        names = sorted(set(k.rsplit("__", 1)[0] for k in z.files))
+        assert len(names) >= 7
+        for name in names:
+            chunk = z[f"{name}__chunk"].tobytes()
+            raw = z[f"{name}__raw"].tobytes()
+            assert decompress_chunk(chunk) == raw, name
+
+
+def test_real_chunks_b2nd_frame():
+    """A committed .b2nd frame whose data chunks are real libblosc1 zstd
+    output reads back voxel-exactly."""
+    got = read_b2nd(os.path.join(FIXTURES, "real_chunks.b2nd"))
+    exp = np.load(os.path.join(FIXTURES, "real_chunks_expected.npy"))
+    np.testing.assert_array_equal(got, exp)
+    assert got.dtype == exp.dtype
+
+
+def test_legacy_v2_extended_chunk_still_decodes():
+    """Chunks from the pre-round-4 writer (version byte 2 but a 32-byte
+    extended header and blosc2 codec numbering) must keep decoding via the
+    bstart-plausibility disambiguation."""
+    rng = np.random.RandomState(5)
+    data = (rng.rand(600) * 9).astype(np.float32).tobytes()
+    chunk = bytearray(compress_chunk(data, 4, 512))
+    chunk[0] = 2  # forge the old writer's version byte
+    assert decompress_chunk(bytes(chunk)) == data
 
 
 @pytest.mark.parametrize("dtype,shuffle", [(np.float32, True),
