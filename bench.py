@@ -127,7 +127,10 @@ def main():
         # (ops/pallas_s2d.py) — opt-in pending the hardware A/B
         use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
         # per-offset argmax on the flat accumulator (ops/pallas_finalize.py)
-        use_pallas_finalize=os.environ.get("BENCH_PALLAS_FINALIZE", "0") == "1",
+        # — "auto" defaults it ON for TPU backends since the round-4 hardware
+        # A/B (bit-identical, small device win; BENCH_PALLAS_FINALIZE=0 opts out)
+        use_pallas_finalize={"0": False, "1": True}.get(
+            os.environ.get("BENCH_PALLAS_FINALIZE", ""), "auto"),
         # serialized-executable cache (inference/aot.py): run 1 of a cold
         # process loads the compiled sweep from disk instead of paying the
         # remote compile (the TRT saveEngine analogue). BENCH_AOT=0 disables.
@@ -255,8 +258,8 @@ def main_turbo(args):
         tile_batch=int(os.environ.get("BENCH_TILE_BATCH", 8)),
         max_accumulator_bytes=4 * 1024 ** 3, use_s2d_sweep=True,
         use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
-        use_pallas_finalize=os.environ.get(
-            "BENCH_PALLAS_FINALIZE", "0") == "1",
+        use_pallas_finalize={"0": False, "1": True}.get(
+            os.environ.get("BENCH_PALLAS_FINALIZE", ""), "auto"),
         aot_cache=(os.environ.get("BENCH_AOT_DIR", "/root/.fnn_aot")
                    if os.environ.get("BENCH_AOT", "1") == "1" else None))
     cfg = TurboConfig.from_ini(os.path.join(
@@ -382,8 +385,8 @@ def main_e2e(args):
             os.environ.get("BENCH_TILE_BATCH", 8)),
         max_accumulator_bytes=4 * 1024 ** 3, use_s2d_sweep=True,
         use_pallas_s2d=os.environ.get("BENCH_PALLAS_S2D", "0") == "1",
-        use_pallas_finalize=os.environ.get(
-            "BENCH_PALLAS_FINALIZE", "0") == "1")
+        use_pallas_finalize={"0": False, "1": True}.get(
+            os.environ.get("BENCH_PALLAS_FINALIZE", ""), "auto"))
     cfg = TurboConfig.from_ini(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "engine", "config", "fast_nnunet_bone_turbo.ini"))

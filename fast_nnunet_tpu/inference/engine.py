@@ -101,7 +101,7 @@ class SlidingWindowEngine:
                  use_streamed_sweep: bool = False,
                  use_s2d_sweep: bool = False,
                  use_pallas_s2d: bool = False,
-                 use_pallas_finalize: bool = False,
+                 use_pallas_finalize="auto",
                  pad_to_tile_batch: bool = False,
                  aot_cache: str = None):
         self.network = network
@@ -139,15 +139,20 @@ class SlidingWindowEngine:
         # same-coset batches touch pairwise-disjoint accumulator regions.
         # The accumulator is fp32 on this path (sublane alignment + accuracy)
         self.use_pallas_s2d = use_pallas_s2d
-        # opt-in (s2d sweep): per-offset argmax directly on the flat
-        # offset-major accumulator (ops/pallas_finalize.py) instead of XLA's
-        # reshape-to-(…, 8, K) relayout copy + variadic argmax reduce
-        self.use_pallas_finalize = use_pallas_finalize
         # opt-in: host-driven per-chunk jits with strip-prefetch H2D overlap.
         # Wins only when per-call dispatch latency is negligible (local PCIe
         # serving); the default single-jit sweep is one device call per volume
         self.use_streamed_sweep = use_streamed_sweep
         self._pallas_interpret = jax.default_backend() not in ("tpu", "axon")
+        # s2d sweep finalize: per-offset argmax directly on the flat
+        # offset-major accumulator (ops/pallas_finalize.py) instead of XLA's
+        # reshape-to-(…, 8, K) relayout copy + variadic argmax reduce.
+        # "auto" (default) = on for real TPU backends, off where Pallas would
+        # run interpreted (CPU tests): the round-4 hardware A/B measured it
+        # bit-identical and a small constant device win (docs/Performance.md)
+        if use_pallas_finalize == "auto":
+            use_pallas_finalize = not self._pallas_interpret
+        self.use_pallas_finalize = bool(use_pallas_finalize)
         # exported StableHLO artifacts have a FIXED batch dim: never shrink
         # the batch below tile_batch for small tile counts (pad instead)
         self.pad_to_tile_batch = bool(pad_to_tile_batch)

@@ -442,11 +442,13 @@ class TurboPipeline:
             acc_dtype=jnp.float32,
             sweep_acc_dtype=compute_dtype, shape_bucket=32,
             tile_batch=tile_batch, use_s2d_sweep=True,
-            # opt-in Pallas kernels (see docs/Performance.md round-3 log);
-            # env-gated so hardware A/Bs need no code edits
+            # env-gated Pallas kernels (docs/Performance.md round-3/4 A/Bs):
+            # the grouped-argmax finalize won on hardware (bit-identical,
+            # -0.02..0.08 s device) and defaults on there ("auto" = on for
+            # TPU backends, off where Pallas would interpret); s2d is opt-in
             use_pallas_s2d=os.environ.get("FNN_PALLAS_S2D", "0") == "1",
-            use_pallas_finalize=os.environ.get(
-                "FNN_PALLAS_FINALIZE", "0") == "1")
+            use_pallas_finalize={"0": False, "1": True}.get(
+                os.environ.get("FNN_PALLAS_FINALIZE", ""), "auto"))
         return cls(engine, config, air_skip=air_skip,
                    **pipeline_kwargs), params
 
