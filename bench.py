@@ -270,7 +270,12 @@ def main_turbo(args):
     # the device link is slow (the dev tunnel), a wash on real PCIe
     pipe = TurboPipeline(engine, cfg, air_skip=not args.no_air_skip,
                          host_revert=os.environ.get(
-                             "BENCH_HOST_REVERT", "1") == "1")
+                             "BENCH_HOST_REVERT", "1") == "1",
+                         # native C++ clip+zscore+trilinear upload-cut
+                         # (engine/src/host_ops.cpp); "auto" = on when the
+                         # library is built, device path otherwise
+                         host_preprocess={"0": False, "1": True}.get(
+                             os.environ.get("BENCH_HOST_PRE", ""), "auto"))
 
     size = (args.size, args.size, max(64, int(round(args.size * 500 / 512))))
     vol, spacing = make_synthetic_ct(size, (0.8, 0.8, 1.0))

@@ -136,7 +136,8 @@ def _nearest_revert_host(seg: np.ndarray, out_shape) -> np.ndarray:
 
 class TurboPipeline:
     def __init__(self, engine, config: TurboConfig, air_skip: bool = False,
-                 air_margin_hu: float = 200.0, host_revert: bool = False):
+                 air_margin_hu: float = 200.0, host_revert: bool = False,
+                 host_preprocess="auto"):
         """engine: a SlidingWindowEngine wrapping an S2DPlainConvUNet (built
         via make_s2d_engine_net + convert_params) whose patch/classes match
         `config` — the turbo path always runs the s2d-domain sweep.
@@ -147,10 +148,37 @@ class TurboPipeline:
         index map as jax.image.resize; voxel-identical). D2H moves the
         ~3x-smaller coarse mask instead of the original-grid mask — a win
         whenever the device link is the bottleneck (the dev tunnel runs at
-        tens of MB/s; production PCIe makes this a wash)."""
+        tens of MB/s; production PCIe makes this a wash).
+        host_preprocess: run clip+z-score+trilinear-resample in the native
+        host library (engine/src/host_ops.cpp via utils/hostops.py) and
+        upload the ~3x-smaller target-spacing bf16 grid instead of the raw
+        volume — the reference engine's own CPU-resample-then-infer shape
+        (its INI target_spacing is applied before TensorRT sees the
+        tensor). "auto" (default) = use it when the library is built, every
+        channel is the CT scheme, and the input is int16; per-call fallback
+        to the on-device preprocess otherwise. Implies the host revert for
+        the output (the point is cutting link bytes both ways). Masks agree
+        with the device path to ~1 bf16 ULP of preprocessing (pinned by
+        tests/test_hostops.py); the device path stays the
+        bit-reproducibility reference."""
         self.engine = engine
         self.config = config
         self.host_revert = bool(host_revert)
+        if host_preprocess == "auto":
+            from ..utils import hostops
+            host_preprocess = (hostops.available() and
+                               all(c["scheme"] == "ct"
+                                   for c in config.channels))
+        elif host_preprocess:
+            from ..utils import hostops
+            if not hostops.available():
+                raise RuntimeError(
+                    "host_preprocess=True but libfnn_hostops.so is not "
+                    "built (cd engine && cmake -B build -G Ninja && "
+                    "cmake --build build)")
+            if not all(c["scheme"] == "ct" for c in config.channels):
+                raise ValueError("host_preprocess supports CT channels only")
+        self.host_preprocess = bool(host_preprocess)
         ch0 = config.channels[0]
         if air_skip and ch0["scheme"] != "ct":
             print("[turbo] air skipping needs a CT (HU-calibrated) channel 0; "
@@ -169,7 +197,8 @@ class TurboPipeline:
         self._jit_cache = {}
 
     # ------------------------------------------------------------- device program
-    def _full_program(self, in_shape, new_shape, vol_shape, n_folds: int):
+    def _full_program(self, in_shape, new_shape, vol_shape, n_folds: int,
+                      pre_resampled: bool = False):
         """ONE jitted program for the whole pipeline: normalize -> trilinear
         resample -> (air-flag computation on device) -> s2d sweep -> nearest
         revert to the original grid. Per-call dispatch through a tunneled
@@ -185,7 +214,7 @@ class TurboPipeline:
         distillation/nnunetv2/preprocessing/normalization/default_normalization_schemes.py:27-97)."""
         key = ("full", in_shape, new_shape, vol_shape, n_folds,
                self.air_skip, round(float(self.air_threshold), 6),
-               self.host_revert)
+               self.host_revert, pre_resampled)
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
@@ -254,14 +283,20 @@ class TurboPipeline:
 
         @jax.jit
         def full(stacked_params, raw, coords_b_d, valid_b_d):
-            # raw: (C, *untransposed in_shape) in the on-disk dtype
-            raw = jnp.transpose(raw, t_fwd)
-            chans = [_normalize(raw[c].astype(jnp.float32), cfg.channels[c])
-                     for c in range(n_ch)]
-            # one batched trilinear resize over all channels
-            xs = jax.image.resize(jnp.stack(chans), (n_ch, *new_shape),
-                                  method="trilinear",
-                                  antialias=False).astype(compute_dtype)
+            if pre_resampled:
+                # raw: (C, *untransposed new_shape) bf16, already clipped,
+                # z-scored, and trilinear-resampled by the native host op
+                # (engine/src/host_ops.cpp) — only transpose remains
+                xs = jnp.transpose(raw, t_fwd).astype(compute_dtype)
+            else:
+                # raw: (C, *untransposed in_shape) in the on-disk dtype
+                raw_t = jnp.transpose(raw, t_fwd)
+                chans = [_normalize(raw_t[c].astype(jnp.float32),
+                                    cfg.channels[c]) for c in range(n_ch)]
+                # one batched trilinear resize over all channels
+                xs = jax.image.resize(jnp.stack(chans), (n_ch, *new_shape),
+                                      method="trilinear",
+                                      antialias=False).astype(compute_dtype)
             x = xs[0]  # channel 0 drives air skipping
             xp = jnp.stack(
                 [jnp.pad(xs[c], pad,
@@ -290,7 +325,7 @@ class TurboPipeline:
                 seg = sweep(stacked_params, xp, coords_b_d, valid_b_d)
 
             s = lax.slice(seg, (0, 0, 0), new_shape)
-            if self.host_revert:
+            if self.host_revert or pre_resampled:
                 return s  # coarse target-spacing mask; host does the revert
             return jax.image.resize(s, in_shape, method="nearest")
 
@@ -328,18 +363,38 @@ class TurboPipeline:
             params_list = [params_list]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                          *params_list)
+
+        # native host preprocess: clip+zscore+trilinear in C++ and upload
+        # the ~3x-smaller bf16 target-spacing grid (image axis order; the
+        # device program folds the plans transpose into its pad as before)
+        upload = None
+        pre = False
+        if self.host_preprocess and volume.dtype == np.int16:
+            from ..utils import hostops
+            inv = cfg.transpose_backward
+            new_shape_img = tuple(new_shape[inv[p]]
+                                  for p in range(len(new_shape)))
+            chs = cfg.channels
+            upload = hostops.preprocess_ct_i16(
+                volume, new_shape_img,
+                [c["lower_bound"] for c in chs], [c["upper_bound"] for c in chs],
+                [c["mean"] for c in chs], [c["std"] for c in chs])
+            pre = upload is not None
+        if upload is None:
+            upload = np.ascontiguousarray(volume)
+
         full, coords_b, valid_b = self._full_program(
-            vol_t.shape[1:], new_shape, vol_shape, len(params_list))
-        args = (stacked, jnp.asarray(np.ascontiguousarray(volume)),
-                coords_b, valid_b)
+            upload.shape[1:] if pre else vol_t.shape[1:], new_shape,
+            vol_shape, len(params_list), pre_resampled=pre)
+        args = (stacked, jnp.asarray(upload), coords_b, valid_b)
         # serialized-executable round-trip (inference/aot.py, the TRT
         # saveEngine analogue): when the wrapped engine carries an aot_cache
         # dir, a cold process LOADS the whole-pipeline executable instead of
         # paying the remote compile
         aot_dir = getattr(eng, "aot_cache", None)
         if aot_dir:
-            akey = ("aot_full", volume.shape, str(volume.dtype), new_shape,
-                    vol_shape, len(params_list), self.air_skip)
+            akey = ("aot_full", upload.shape, str(upload.dtype), new_shape,
+                    vol_shape, len(params_list), self.air_skip, pre)
             fn = self._jit_cache.get(akey)
             if fn is None:
                 from .aot import aot_compile
@@ -348,8 +403,11 @@ class TurboPipeline:
             seg = np.asarray(fn(*args))
         else:
             seg = np.asarray(full(*args))
-        if self.host_revert and seg.shape != vol_t.shape[1:]:
-            seg = _nearest_revert_host(seg, vol_t.shape[1:])
+        if (self.host_revert or pre) and seg.shape != vol_t.shape[1:]:
+            from ..utils import hostops
+            rev = hostops.nearest_revert_u8(seg, vol_t.shape[1:])
+            seg = rev if rev is not None else \
+                _nearest_revert_host(seg, vol_t.shape[1:])
         return np.transpose(seg, cfg.transpose_backward)
 
     @classmethod
