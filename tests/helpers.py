@@ -13,7 +13,8 @@ from fast_nnunet_tpu.utils.io import maybe_mkdir_p, join
 def make_synthetic_dataset(root: str, dataset_name: str = "Dataset995_Synth",
                            n_cases: int = 6, shape=(24, 28, 20), n_classes: int = 2,
                            labels: dict = None, regions_class_order=None,
-                           spacing=(1.0, 1.0, 2.0), seed: int = 0) -> str:
+                           spacing=(1.0, 1.0, 2.0), seed: int = 0,
+                           blob_radius=(2, 4), margin: int = 4) -> str:
     """Creates nnUNet_raw/<dataset_name>/{imagesTr,labelsTr} + dataset.json with
     blob-shaped foreground objects. Returns the dataset folder."""
     rng = np.random.RandomState(seed)
@@ -25,10 +26,10 @@ def make_synthetic_dataset(root: str, dataset_name: str = "Dataset995_Synth",
         img = rng.rand(*shape).astype(np.float32) * 0.2
         seg = np.zeros(shape, np.uint8)
         for c in range(1, n_classes + 1):
-            cx = rng.randint(4, shape[0] - 4)
-            cy = rng.randint(4, shape[1] - 4)
-            cz = rng.randint(4, shape[2] - 4)
-            r = rng.randint(2, 4)
+            cx = rng.randint(margin, shape[0] - margin)
+            cy = rng.randint(margin, shape[1] - margin)
+            cz = rng.randint(margin, shape[2] - margin)
+            r = rng.randint(*blob_radius)
             xs, ys, zs = np.ogrid[:shape[0], :shape[1], :shape[2]]
             blob = ((xs - cx) ** 2 + (ys - cy) ** 2 + (zs - cz) ** 2) <= r ** 2
             img[blob] += 0.5 + 0.2 * c

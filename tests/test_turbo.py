@@ -326,3 +326,21 @@ def test_turbo_multichannel_predict_file(tmp_path):
     assert stats["seconds_total"] > 0
     seg, _ = read_nifti(f_out)
     assert seg.shape == (24, 22, 20)
+
+
+def test_pack_mask6_roundtrip():
+    """The device-side 6-bit pack (4 voxels -> 3 bytes) and the host unpack
+    are exact inverses for any <64-class mask, odd sizes included."""
+    from fast_nnunet_tpu.inference.turbo import _unpack_mask6
+    rng = np.random.RandomState(0)
+    for shape in [(5, 7, 9), (4, 4, 4), (3, 3, 3)]:
+        v = rng.randint(0, 64, size=shape).astype(np.uint8)
+        n = v.size
+        flat = v.reshape(-1)
+        if n % 4:
+            flat = np.concatenate([flat, np.zeros(((-n) % 4,), np.uint8)])
+        q = flat.reshape(-1, 4)
+        packed = np.stack([q[:, 0] | (q[:, 1] << 6),
+                           (q[:, 1] >> 2) | (q[:, 2] << 4),
+                           (q[:, 2] >> 4) | (q[:, 3] << 2)], axis=-1)
+        np.testing.assert_array_equal(_unpack_mask6(packed, shape), v)
