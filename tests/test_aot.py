@@ -7,8 +7,23 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fast_nnunet_tpu.inference.aot import aot_compile, program_key
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_compile_cache():
+    """serialize_executable of an executable that was itself DESERIALIZED
+    from the persistent XLA compile cache loses its buffer-definition
+    events on the CPU backend ('Buffer Definition Event: Function ... not
+    found' at execution) — so the AOT round-trip tests must compile fresh.
+    Production is unaffected: aot.py loads its own artifact (never
+    re-serializing a cache hit), and the TPU path deserializes fine."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
 from fast_nnunet_tpu.models.factory import get_network_from_plans
 from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
