@@ -37,6 +37,8 @@ def main():
                     help="teacher stage-0 width f -> [f, 2f, 4f]; the r=2 "
                          "student then gets [max(f//2,8), f, 2f]")
     ap.add_argument("--shape", type=int, nargs=3, default=list(SHAPE))
+    ap.add_argument("--separate", action="store_true",
+                    help="non-overlapping class blobs (clean labels)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -46,11 +48,13 @@ def main():
     shape = tuple(args.shape)
     make_synthetic_dataset(raw, DS, n_cases=args.n_train, shape=shape, n_classes=2,
                            seed=0, spacing=(1.0, 1.0, 1.0),
-                           blob_radius=rad, margin=rad[1] + 1)
+                           blob_radius=rad, margin=rad[1] + 1,
+                           separate_blobs=args.separate)
     held = make_synthetic_dataset(raw, "Dataset986_KDRT", n_cases=args.n_test,
                                   shape=shape, n_classes=2, seed=123,
                                   spacing=(1.0, 1.0, 1.0),
-                                  blob_radius=rad, margin=rad[1] + 1)
+                                  blob_radius=rad, margin=rad[1] + 1,
+                                  separate_blobs=args.separate)
 
     from fast_nnunet_tpu.planning.fingerprint import \
         DatasetFingerprintExtractor

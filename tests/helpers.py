@@ -14,9 +14,14 @@ def make_synthetic_dataset(root: str, dataset_name: str = "Dataset995_Synth",
                            n_cases: int = 6, shape=(24, 28, 20), n_classes: int = 2,
                            labels: dict = None, regions_class_order=None,
                            spacing=(1.0, 1.0, 2.0), seed: int = 0,
-                           blob_radius=(2, 4), margin: int = 4) -> str:
+                           blob_radius=(2, 4), margin: int = 4,
+                           separate_blobs: bool = False) -> str:
     """Creates nnUNet_raw/<dataset_name>/{imagesTr,labelsTr} + dataset.json with
-    blob-shaped foreground objects. Returns the dataset folder."""
+    blob-shaped foreground objects. Returns the dataset folder.
+    separate_blobs: rejection-sample class centers so blobs never overlap
+    (overlapping blobs ADD in the image but the later class overwrites the
+    label — deliberate ambiguity for robustness tests, poison for
+    convergence-parity recipes)."""
     rng = np.random.RandomState(seed)
     ds_folder = join(root, dataset_name)
     maybe_mkdir_p(join(ds_folder, "imagesTr"))
@@ -25,11 +30,18 @@ def make_synthetic_dataset(root: str, dataset_name: str = "Dataset995_Synth",
     for i in range(n_cases):
         img = rng.rand(*shape).astype(np.float32) * 0.2
         seg = np.zeros(shape, np.uint8)
+        placed = []  # (center, r)
         for c in range(1, n_classes + 1):
-            cx = rng.randint(margin, shape[0] - margin)
-            cy = rng.randint(margin, shape[1] - margin)
-            cz = rng.randint(margin, shape[2] - margin)
-            r = rng.randint(*blob_radius)
+            for _ in range(100):
+                cx = rng.randint(margin, shape[0] - margin)
+                cy = rng.randint(margin, shape[1] - margin)
+                cz = rng.randint(margin, shape[2] - margin)
+                r = rng.randint(*blob_radius)
+                if not separate_blobs or all(
+                        (cx - p[0]) ** 2 + (cy - p[1]) ** 2 + (cz - p[2]) ** 2
+                        > (r + pr + 1) ** 2 for p, pr in placed):
+                    break
+            placed.append(((cx, cy, cz), r))
             xs, ys, zs = np.ogrid[:shape[0], :shape[1], :shape[2]]
             blob = ((xs - cx) ** 2 + (ys - cy) ** 2 + (zs - cz) ** 2) <= r ** 2
             img[blob] += 0.5 + 0.2 * c
