@@ -124,6 +124,53 @@ class TurboConfig:
             use_gaussian=cp["inference"].getboolean("use_gaussian", True))
 
 
+def _fill_bf16_bits(spec) -> int:
+    """The CT fill value's exact bfloat16 bit pattern, replaying
+    engine/src/host_ops.cpp's f32 arithmetic: (lb - mean) * (1/max(std,eps))
+    with round-to-nearest-even to bf16."""
+    import ml_dtypes
+    inv = np.float32(1.0) / np.maximum(np.float32(spec["std"]),
+                                       np.float32(1e-8))
+    f = (np.float32(spec["lower_bound"]) - np.float32(spec["mean"])) * inv
+    return int(f.astype(ml_dtypes.bfloat16).view(np.uint16))
+
+
+def _crop_to_fill_bbox(arr: np.ndarray, fill_bits, bucket: int = 32):
+    """arr: (C, d, h, w) bfloat16. Returns (crop_box, slab) where slab is
+    the contiguous sub-volume outside of which EVERY channel equals its
+    fill bit pattern (so padding with fill reconstructs arr exactly), with
+    the slab shape rounded up to `bucket` multiples (compile-key hygiene).
+    Returns (None, arr) when the bbox covers (almost) everything. A wrong
+    fill pattern fails SAFE: nothing matches it, the bbox spans the whole
+    array, and the crop becomes a no-op."""
+    bits = arr.view(np.uint16)
+    diff = np.zeros(arr.shape[1:], bool)
+    for c in range(arr.shape[0]):
+        diff |= bits[c] != np.uint16(fill_bits[c])
+    if not diff.any():
+        lo = [0] * (arr.ndim - 1)
+        hi = [min(bucket, s) for s in arr.shape[1:]]
+    else:
+        lo, hi = [], []
+        for ax in range(diff.ndim):
+            other = tuple(a for a in range(diff.ndim) if a != ax)
+            nz = np.flatnonzero(diff.any(axis=other))
+            lo.append(int(nz[0]))
+            hi.append(int(nz[-1]) + 1)
+    box_lo, box_hi = [], []
+    for l, h, s in zip(lo, hi, arr.shape[1:]):
+        size = min(-(-(h - l) // bucket) * bucket, s)
+        l = max(0, min(l // bucket * bucket, s - size))
+        box_lo.append(l)
+        box_hi.append(l + size)
+    if all(h - l >= s for l, h, s in zip(box_lo, box_hi, arr.shape[1:])):
+        return None, arr
+    slab = np.ascontiguousarray(
+        arr[:, box_lo[0]:box_hi[0], box_lo[1]:box_hi[1],
+            box_lo[2]:box_hi[2]])
+    return (tuple(box_lo), tuple(box_hi)), slab
+
+
 def _unpack_mask6(packed: np.ndarray, shape) -> np.ndarray:
     """Inverse of the device-side 6-bit pack (4 voxels -> 3 bytes)."""
     b0, b1, b2 = packed[:, 0], packed[:, 1], packed[:, 2]
@@ -213,7 +260,7 @@ class TurboPipeline:
 
     # ------------------------------------------------------------- device program
     def _full_program(self, in_shape, new_shape, vol_shape, n_folds: int,
-                      pre_resampled: bool = False):
+                      pre_resampled: bool = False, crop_box=None):
         """ONE jitted program for the whole pipeline: normalize -> trilinear
         resample -> (air-flag computation on device) -> s2d sweep -> nearest
         revert to the original grid. Per-call dispatch through a tunneled
@@ -229,7 +276,7 @@ class TurboPipeline:
         distillation/nnunetv2/preprocessing/normalization/default_normalization_schemes.py:27-97)."""
         key = ("full", in_shape, new_shape, vol_shape, n_folds,
                self.air_skip, round(float(self.air_threshold), 6),
-               self.host_revert, pre_resampled, self.pack_mask)
+               self.host_revert, pre_resampled, self.pack_mask, crop_box)
         if key in self._jit_cache:
             return self._jit_cache[key]
         import jax
@@ -303,6 +350,19 @@ class TurboPipeline:
                 # z-scored, and trilinear-resampled by the native host op
                 # (engine/src/host_ops.cpp) — only transpose remains
                 xs = jnp.transpose(raw, t_fwd).astype(compute_dtype)
+                if crop_box is not None:
+                    # raw was only the non-fill bounding slab (the host
+                    # crops what the CT clip floor made exactly equal to
+                    # the fill — air): rebuild the full grid by inserting
+                    # the slab into fill at its STATIC offset. Bit-exact
+                    # vs the uncropped program by construction of the bbox
+                    off = tuple(int(crop_box[0][p])
+                                for p in cfg.transpose_forward)
+                    xs = jnp.stack([
+                        lax.dynamic_update_slice(
+                            jnp.full(new_shape, _fill(cfg.channels[c]),
+                                     compute_dtype), xs[c], off)
+                        for c in range(n_ch)])
             else:
                 # raw: (C, *untransposed in_shape) in the on-disk dtype
                 raw_t = jnp.transpose(raw, t_fwd)
@@ -399,6 +459,7 @@ class TurboPipeline:
         # device program folds the plans transpose into its pad as before)
         upload = None
         pre = False
+        crop_box = None
         if self.host_preprocess and volume.dtype == np.int16:
             from ..utils import hostops
             inv = cfg.transpose_backward
@@ -410,12 +471,20 @@ class TurboPipeline:
                 [c["lower_bound"] for c in chs], [c["upper_bound"] for c in chs],
                 [c["mean"] for c in chs], [c["std"] for c in chs])
             pre = upload is not None
+            if pre and os.environ.get("FNN_HOST_CROP", "1") == "1":
+                # everything the CT clip floor mapped exactly to the fill
+                # (air) need not cross the link: upload only the non-fill
+                # bounding slab; the device reinserts it into fill at a
+                # static offset (bit-exact; whole-body CTs are 40-70% air)
+                crop_box, upload = _crop_to_fill_bbox(
+                    upload, [_fill_bf16_bits(c) for c in chs])
         if upload is None:
             upload = np.ascontiguousarray(volume)
 
         full, coords_b, valid_b = self._full_program(
             upload.shape[1:] if pre else vol_t.shape[1:], new_shape,
-            vol_shape, len(params_list), pre_resampled=pre)
+            vol_shape, len(params_list), pre_resampled=pre,
+            crop_box=crop_box)
         args = (stacked, jnp.asarray(upload), coords_b, valid_b)
         # serialized-executable round-trip (inference/aot.py, the TRT
         # saveEngine analogue): when the wrapped engine carries an aot_cache
@@ -425,7 +494,7 @@ class TurboPipeline:
         if aot_dir:
             akey = ("aot_full", upload.shape, str(upload.dtype), new_shape,
                     vol_shape, len(params_list), self.air_skip, pre,
-                    self.pack_mask)
+                    self.pack_mask, crop_box)
             fn = self._jit_cache.get(akey)
             if fn is None:
                 from .aot import aot_compile

@@ -131,3 +131,49 @@ def test_turbo_host_preprocess_falls_back_on_float_input():
     pipe = TurboPipeline(eng, cfg, host_preprocess="auto")
     seg = pipe.predict_volume(sp, vol, (1.0, 1.0, 1.0))
     assert seg.shape == vol.shape
+
+
+def test_host_crop_bit_identical(monkeypatch):
+    """The fill-bbox upload crop must be BIT-identical to uploading the
+    full resampled grid (air clips exactly to the fill, so reinserting the
+    slab into fill reconstructs the same device input)."""
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.inference.turbo import TurboConfig, TurboPipeline
+    from fast_nnunet_tpu.models.factory import get_network_from_plans
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+
+    K = 4
+    arch = {"n_stages": 3, "features_per_stage": [8, 16, 32],
+            "kernel_sizes": [[3, 3, 3]] * 3,
+            "strides": [[1, 1, 1]] + [[2, 2, 2]] * 2,
+            "n_conv_per_stage": [2, 2, 2], "n_conv_per_stage_decoder": [2, 2],
+            "nonlin": "torch.nn.LeakyReLU"}
+    patch = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", arch, (), 1, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1)),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, arch, K, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+
+    def build():
+        eng = SlidingWindowEngine(s2d, patch, K, tile_step_size=0.5,
+                                  shape_bucket=4, compute_dtype=jnp.float32,
+                                  sweep_acc_dtype=jnp.float32, tile_batch=2,
+                                  use_s2d_sweep=True)
+        cfg = TurboConfig(patch_size=(16, 8, 8),
+                          target_spacing=(1.0, 1.2, 1.1), mean=40.0,
+                          std=100.0, lower_bound=-60.0, upper_bound=400.0,
+                          num_classes=K)
+        return TurboPipeline(eng, cfg, host_preprocess=True)
+
+    rng = np.random.RandomState(9)
+    vol = np.full((40, 36, 30), -1000, np.int16)  # air everywhere...
+    vol[8:22, 9:23, 6:20] = (rng.rand(14, 14, 14) * 400 - 60).astype(np.int16)
+    spacing = (1.0, 1.0, 1.5)
+
+    monkeypatch.setenv("FNN_HOST_CROP", "0")
+    seg_full = build().predict_volume(sp, vol, spacing)
+    monkeypatch.setenv("FNN_HOST_CROP", "1")
+    seg_crop = build().predict_volume(sp, vol, spacing)
+    np.testing.assert_array_equal(seg_full, seg_crop)
