@@ -17,6 +17,13 @@ the jax version and device fingerprint. A mismatched or corrupt artifact
 falls back to a fresh compile; a backend that cannot serialize executables
 (PJRT clients may not implement it) silently degrades to jit behavior, so
 this layer is never load-bearing for correctness.
+
+Trust model: the cache dir must be PRIVATE and TRUSTED (it is created
+0o700). Artifacts are pickle-based — ours through a restricted unpickler
+that only resolves PyTreeDef machinery, but `deserialize_and_load` itself
+unpickles jax-internal state, so a tampered artifact is still an
+arbitrary-code risk at that layer. Never point `aot_cache`/`BENCH_AOT` at
+a shared or world-writable directory.
 """
 import hashlib
 import logging
@@ -28,6 +35,21 @@ from typing import Optional
 logger = logging.getLogger(__name__)
 
 __all__ = ["aot_compile", "program_key"]
+
+class _PayloadUnpickler(pickle.Unpickler):
+    """Outer-payload unpickler that resolves ONLY the PyTreeDef machinery
+    (plus builtins handled natively by pickle). Our payload is a dict of
+    bytes / treedefs / int lists — any other global in the stream means a
+    tampered or foreign artifact, and we refuse rather than import it."""
+
+    _ALLOWED_PREFIXES = ("jax._src.tree_util", "jaxlib")
+
+    def find_class(self, module, name):
+        if module.startswith(self._ALLOWED_PREFIXES):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"aot payload references disallowed global {module}.{name}")
+
 
 _LOC = re.compile(r"\s*loc\(.*?\)|#loc\d*(?: = .*)?$", re.MULTILINE)
 # the module carries the jitted function's NAME (`module @jit_sweep ...`);
@@ -65,13 +87,13 @@ def aot_compile(jitted, example_args, cache_dir: Optional[str],
     lowered = jitted.lower(*example_args)
     if not cache_dir:
         return lowered.compile()
-    os.makedirs(cache_dir, exist_ok=True)
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
     key = program_key(lowered)
     path = os.path.join(cache_dir, f"{tag}-{key}.jaxexec")
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                payload = pickle.load(f)
+                payload = _PayloadUnpickler(f).load()
             from jax.experimental.serialize_executable import \
                 deserialize_and_load
             import jax

@@ -159,10 +159,16 @@ def _crop_to_fill_bbox(arr: np.ndarray, fill_bits, bucket: int = 32):
             hi.append(int(nz[-1]) + 1)
     box_lo, box_hi = [], []
     for l, h, s in zip(lo, hi, arr.shape[1:]):
-        size = min(-(-(h - l) // bucket) * bucket, s)
-        l = max(0, min(l // bucket * bucket, s - size))
-        box_lo.append(l)
-        box_hi.append(l + size)
+        # floor lo to the bucket FIRST, then size the slab from the floored
+        # lo — sizing from the raw lo can leave [l_floor+size, h) uncovered
+        # (e.g. extent [31, 63), bucket 32 -> box [0, 32) dropped voxel 32+)
+        lf = l // bucket * bucket
+        size = min(-(-(h - lf) // bucket) * bucket, s - lf)
+        box_lo.append(lf)
+        box_hi.append(lf + size)
+    assert all(bl <= l and bh >= h
+               for bl, bh, l, h in zip(box_lo, box_hi, lo, hi)), \
+        (box_lo, box_hi, lo, hi)  # the slab must cover every non-fill voxel
     if all(h - l >= s for l, h, s in zip(box_lo, box_hi, arr.shape[1:])):
         return None, arr
     slab = np.ascontiguousarray(
@@ -238,6 +244,9 @@ class TurboPipeline:
             if not all(c["scheme"] == "ct" for c in config.channels):
                 raise ValueError("host_preprocess supports CT channels only")
         self.host_preprocess = bool(host_preprocess)
+        # slab-shape rounding for the fill-bbox upload crop (compile-key
+        # hygiene: fewer distinct slab shapes -> fewer compiles)
+        self.crop_bucket = int(os.environ.get("FNN_HOST_CROP_BUCKET", "32"))
         # 6-bit mask packing for the host-revert D2H (4 voxels -> 3 bytes,
         # lossless): only meaningful when the host fetches the coarse mask
         self.pack_mask = config.num_classes <= 64
@@ -354,14 +363,22 @@ class TurboPipeline:
                     # raw was only the non-fill bounding slab (the host
                     # crops what the CT clip floor made exactly equal to
                     # the fill — air): rebuild the full grid by inserting
-                    # the slab into fill at its STATIC offset. Bit-exact
-                    # vs the uncropped program by construction of the bbox
+                    # the slab into fill at its STATIC offset. The inserted
+                    # fill must carry the HOST slab's exact air bit pattern
+                    # (f32 arithmetic rounded to bf16, _fill_bf16_bits) —
+                    # _fill() in float64 differs by an ULP for non-bf16-
+                    # representable fills, shifting air-region logits
                     off = tuple(int(crop_box[0][p])
                                 for p in cfg.transpose_forward)
+                    import ml_dtypes
+                    fills = [np.asarray(_fill_bf16_bits(cfg.channels[c]),
+                                        np.uint16).view(ml_dtypes.bfloat16)
+                             for c in range(n_ch)]
                     xs = jnp.stack([
                         lax.dynamic_update_slice(
-                            jnp.full(new_shape, _fill(cfg.channels[c]),
-                                     compute_dtype), xs[c], off)
+                            jnp.full(new_shape, jnp.asarray(
+                                fills[c], jnp.bfloat16), compute_dtype),
+                            xs[c], off)
                         for c in range(n_ch)])
             else:
                 # raw: (C, *untransposed in_shape) in the on-disk dtype
@@ -477,7 +494,8 @@ class TurboPipeline:
                 # bounding slab; the device reinserts it into fill at a
                 # static offset (bit-exact; whole-body CTs are 40-70% air)
                 crop_box, upload = _crop_to_fill_bbox(
-                    upload, [_fill_bf16_bits(c) for c in chs])
+                    upload, [_fill_bf16_bits(c) for c in chs],
+                    bucket=self.crop_bucket)
         if upload is None:
             upload = np.ascontiguousarray(volume)
 

@@ -177,3 +177,99 @@ def test_host_crop_bit_identical(monkeypatch):
     monkeypatch.setenv("FNN_HOST_CROP", "1")
     seg_crop = build().predict_volume(sp, vol, spacing)
     np.testing.assert_array_equal(seg_full, seg_crop)
+
+
+def test_host_crop_off_bucket_bbox_and_ulp_fill(monkeypatch):
+    """Round-5 regression (advisor finding): (a) a non-fill extent that
+    starts off-bucket with a bucket-multiple size must still be fully
+    covered by the slab (the old code sized the slab BEFORE flooring lo and
+    dropped body voxels past the high edge); (b) a non-bf16-representable
+    fill (mean/std giving e.g. -3.6157... vs bf16 -3.609375) must reinsert
+    with the host slab's exact bit pattern, keeping crop-on == crop-off."""
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.inference.turbo import TurboConfig, TurboPipeline
+    from fast_nnunet_tpu.models.factory import get_network_from_plans
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+
+    K = 3
+    arch = {"n_stages": 3, "features_per_stage": [8, 16, 32],
+            "kernel_sizes": [[3, 3, 3]] * 3,
+            "strides": [[1, 1, 1]] + [[2, 2, 2]] * 2,
+            "n_conv_per_stage": [2, 2, 2], "n_conv_per_stage_decoder": [2, 2],
+            "nonlin": "torch.nn.LeakyReLU"}
+    patch = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", arch, (), 1, K,
+                                 dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1)),
+                      deep_supervision=False)
+    s2d = make_s2d_engine_net(net, arch, K, dtype=jnp.float32)
+    sp = s2d.convert_params(params)
+
+    def build():
+        eng = SlidingWindowEngine(s2d, patch, K, tile_step_size=0.5,
+                                  shape_bucket=4, compute_dtype=jnp.float32,
+                                  sweep_acc_dtype=jnp.float32, tile_batch=2,
+                                  use_s2d_sweep=True)
+        # (lb - mean)/std = (-1024 - 127.475)/318.463 = -3.61572... — not
+        # bf16-representable (rounds to -3.609375)
+        cfg = TurboConfig(patch_size=(16, 8, 8),
+                          target_spacing=(1.0, 1.0, 1.0), mean=127.475,
+                          std=318.463, lower_bound=-1024.0,
+                          upper_bound=3071.0, num_classes=K)
+        pipe = TurboPipeline(eng, cfg, host_preprocess=True)
+        pipe.crop_bucket = 4
+        return pipe
+
+    rng = np.random.RandomState(11)
+    # body extent [3, 19) per axis: lo=3 (off-bucket for bucket 4), size 16
+    # (a bucket multiple) -> the old sizing dropped voxels [16, 19)
+    vol = np.full((26, 24, 22), -1024, np.int16)
+    vol[3:19, 3:19, 3:19] = (rng.rand(16, 16, 16) * 2000 - 500).astype(
+        np.int16)
+    spacing = (1.0, 1.0, 1.0)
+
+    monkeypatch.setenv("FNN_HOST_CROP", "0")
+    seg_full = build().predict_volume(sp, vol, spacing)
+    monkeypatch.setenv("FNN_HOST_CROP", "1")
+    pipe = build()
+    # the crop must actually engage (guard against a silently-degenerate
+    # no-op crop making this test vacuous)
+    from fast_nnunet_tpu.inference.turbo import (_crop_to_fill_bbox,
+                                                 _fill_bf16_bits)
+    pre = __import__("fast_nnunet_tpu.utils.hostops",
+                     fromlist=["hostops"]).preprocess_ct_i16(
+        vol[None], vol.shape, [-1024.0], [3071.0], [127.475], [318.463])
+    box, slab = _crop_to_fill_bbox(
+        pre, [_fill_bf16_bits(c) for c in pipe.config.channels], bucket=4)
+    assert box is not None and slab.shape != pre.shape
+    seg_crop = pipe.predict_volume(sp, vol, spacing)
+    np.testing.assert_array_equal(seg_full, seg_crop)
+
+
+def test_crop_to_fill_bbox_reconstructs_exactly():
+    """Property: padding the slab with the fill bit pattern at the returned
+    box reconstructs the input bit-for-bit, for off-bucket extents."""
+    import ml_dtypes
+    from fast_nnunet_tpu.inference.turbo import _crop_to_fill_bbox
+
+    fill_bits = 0xC067  # some bf16 pattern
+    fill = np.asarray(fill_bits, np.uint16).view(ml_dtypes.bfloat16)
+    rng = np.random.RandomState(5)
+    cases = [((1, 70, 40, 40), (31, 63), (5, 20), (0, 40)),   # advisor repro
+             ((1, 40, 40, 40), (3, 19), (3, 19), (3, 19)),
+             ((2, 33, 65, 37), (32, 33), (1, 65), (36, 37)),
+             ((1, 64, 64, 64), (0, 64), (63, 64), (31, 32))]
+    for shape, *extents in cases:
+        arr = np.full(shape, fill, ml_dtypes.bfloat16)
+        sl = tuple(slice(l, h) for l, h in extents)
+        body = rng.rand(*[h - l for l, h in extents]) + 1.0
+        for c in range(shape[0]):
+            arr[(c,) + sl] = body.astype(ml_dtypes.bfloat16)
+        box, slab = _crop_to_fill_bbox(arr, [fill_bits] * shape[0], bucket=32)
+        if box is None:
+            continue
+        rebuilt = np.full(shape, fill, ml_dtypes.bfloat16)
+        rebuilt[:, box[0][0]:box[1][0], box[0][1]:box[1][1],
+                box[0][2]:box[1][2]] = slab
+        np.testing.assert_array_equal(rebuilt.view(np.uint16),
+                                      arr.view(np.uint16))
