@@ -135,6 +135,34 @@ def _fill_bf16_bits(spec) -> int:
     return int(f.astype(ml_dtypes.bfloat16).view(np.uint16))
 
 
+def _nonfill_bbox(arr: np.ndarray, fill_bits, bucket: int):
+    """Raw per-axis [lo, hi) extents of the voxels where ANY channel
+    differs from its fill bit pattern. Returns all-zero lo and a minimal
+    bucket-sized hi when nothing differs."""
+    bits = arr.view(np.uint16)
+    diff = np.zeros(arr.shape[1:], bool)
+    for c in range(arr.shape[0]):
+        diff |= bits[c] != np.uint16(fill_bits[c])
+    if not diff.any():
+        return ([0] * (arr.ndim - 1),
+                [min(bucket, s) for s in arr.shape[1:]])
+    lo, hi = [], []
+    for ax in range(diff.ndim):
+        other = tuple(a for a in range(diff.ndim) if a != ax)
+        nz = np.flatnonzero(diff.any(axis=other))
+        lo.append(int(nz[0]))
+        hi.append(int(nz[-1]) + 1)
+    return lo, hi
+
+
+def _bucket_extent(l: int, h: int, s: int, bucket: int):
+    """Floor lo to the bucket FIRST, then size the slab from the floored
+    lo — sizing from the raw lo can leave [lf+size, h) uncovered."""
+    lf = l // bucket * bucket
+    size = min(-(-(h - lf) // bucket) * bucket, s - lf)
+    return lf, lf + size
+
+
 def _crop_to_fill_bbox(arr: np.ndarray, fill_bits, bucket: int = 32):
     """arr: (C, d, h, w) bfloat16. Returns (crop_box, slab) where slab is
     the contiguous sub-volume outside of which EVERY channel equals its
@@ -143,29 +171,12 @@ def _crop_to_fill_bbox(arr: np.ndarray, fill_bits, bucket: int = 32):
     Returns (None, arr) when the bbox covers (almost) everything. A wrong
     fill pattern fails SAFE: nothing matches it, the bbox spans the whole
     array, and the crop becomes a no-op."""
-    bits = arr.view(np.uint16)
-    diff = np.zeros(arr.shape[1:], bool)
-    for c in range(arr.shape[0]):
-        diff |= bits[c] != np.uint16(fill_bits[c])
-    if not diff.any():
-        lo = [0] * (arr.ndim - 1)
-        hi = [min(bucket, s) for s in arr.shape[1:]]
-    else:
-        lo, hi = [], []
-        for ax in range(diff.ndim):
-            other = tuple(a for a in range(diff.ndim) if a != ax)
-            nz = np.flatnonzero(diff.any(axis=other))
-            lo.append(int(nz[0]))
-            hi.append(int(nz[-1]) + 1)
+    lo, hi = _nonfill_bbox(arr, fill_bits, bucket)
     box_lo, box_hi = [], []
     for l, h, s in zip(lo, hi, arr.shape[1:]):
-        # floor lo to the bucket FIRST, then size the slab from the floored
-        # lo — sizing from the raw lo can leave [l_floor+size, h) uncovered
-        # (e.g. extent [31, 63), bucket 32 -> box [0, 32) dropped voxel 32+)
-        lf = l // bucket * bucket
-        size = min(-(-(h - lf) // bucket) * bucket, s - lf)
-        box_lo.append(lf)
-        box_hi.append(lf + size)
+        bl, bh = _bucket_extent(l, h, s, bucket)
+        box_lo.append(bl)
+        box_hi.append(bh)
     assert all(bl <= l and bh >= h
                for bl, bh, l, h in zip(box_lo, box_hi, lo, hi)), \
         (box_lo, box_hi, lo, hi)  # the slab must cover every non-fill voxel
@@ -175,6 +186,16 @@ def _crop_to_fill_bbox(arr: np.ndarray, fill_bits, bucket: int = 32):
         arr[:, box_lo[0]:box_hi[0], box_lo[1]:box_hi[1],
             box_lo[2]:box_hi[2]])
     return (tuple(box_lo), tuple(box_hi)), slab
+
+
+def _fill_f64(spec) -> float:
+    """Sweep-pad value in normalized units (python-float arithmetic): the
+    HU clip floor for CT (air), 0 for the statistic-based schemes. This is
+    the PAD-ring fill (the fused program's jnp.pad constant); the
+    reinserted-slab base fill is the bf16 bit pattern `_fill_bf16_bits`."""
+    if spec["scheme"] == "ct":
+        return (spec["lower_bound"] - spec["mean"]) / max(spec["std"], 1e-8)
+    return 0.0
 
 
 def _unpack_mask6(packed: np.ndarray, shape) -> np.ndarray:
@@ -324,14 +345,7 @@ class TurboPipeline:
                 return xc / 255.0
             return xc  # nonorm
 
-        def _fill(spec):
-            # sweep-pad value in normalized units: the HU clip floor for CT
-            # (air), 0 (≈ the background level) for the statistic-based schemes
-            if spec["scheme"] == "ct":
-                return (spec["lower_bound"] - spec["mean"]) / max(
-                    spec["std"], 1e-8)
-            return 0.0
-
+        _fill = _fill_f64
         fill = _fill(cfg.channels[0])
         pad = [(0, v - n) for v, n in zip(vol_shape, new_shape)]
         thr = float(self.air_threshold)
@@ -440,6 +454,327 @@ class TurboPipeline:
         self._jit_cache[key] = entry
         return entry
 
+    # ------------------------------------------------------------- streamed pipeline
+    def _predict_streamed(self, stacked, grid, new_shape, n_folds: int):
+        """STREAMED turbo sweep: one jitted program per x-chunk so the strip
+        uploads and finalized-row fetches OVERLAP device compute.
+
+        The fused single-dispatch program (`_full_program`) serializes
+        H2D -> sweep -> D2H; through a slow device link (the dev tunnel runs
+        at 15-40 MB/s; experiments/probe_overlap.py measured pipelined
+        strips+compute at max(transfer, compute) instead of the sum) the
+        wall is their SUM. Here the host device_puts cropped bf16 x-strips
+        two chunks ahead, each chunk program (donated rolling accumulator +
+        slab) accumulates its tile grid, finalizes its OWNED rows (the rows
+        no later tile touches), packs them, and hands them back via
+        copy_to_host_async while later chunks compute.
+
+        Numerics: per-chunk accumulate/finalize mirror the fused s2d sweep
+        op-for-op (engine.py _build_sweep_runner_s2d), so masks match the
+        fused path bit-for-bit with air_skip off. With air_skip on, the
+        per-chunk air test uses the tile's EXACT x extent (the slab) where
+        the fused program uses a conservative 8-voxel-aligned window — the
+        streamed path skips strictly more all-air tiles; differences are
+        confined to air regions (pinned by tests/test_turbo_stream.py).
+
+        grid: (C, *new_shape_img) bf16 host-preprocessed volume (image axis
+        order, from engine/src/host_ops.cpp). Returns the uint8 seg on the
+        engine-order new_shape grid, or None when the path does not apply
+        (single chunk / pallas-s2d grid / odd rolls)."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        import ml_dtypes
+        from jax import lax
+
+        from ..ops.sliding_window import tile_coords_from_steps
+
+        cfg = self.config
+        eng = self.engine
+        patch = eng.patch_size
+        p0 = patch[0]
+        if eng.use_pallas_s2d or eng.mirror_axes or p0 % 2:
+            return None
+        vol_shape, steps = eng.s2d_sweep_plan(new_shape)
+        starts_x = [int(s) for s in steps[0]]
+        n_starts = len(starts_x)
+        if n_starts < 2:
+            return None
+        rolls = [starts_x[k + 1] - starts_x[k] for k in range(n_starts - 1)]
+        if any(r % 2 for r in rolls):
+            return None
+        rolls_h = [r // 2 for r in rolls]
+
+        coords_yz = tile_coords_from_steps(steps[1:])
+        coords_full = np.concatenate(
+            [np.zeros((len(coords_yz), 1), np.int32), coords_yz], axis=1)
+        coords_b, valid_b = eng._batched_coords(coords_full)
+        nb, B = valid_b.shape
+
+        # fill-bbox crop, applied per strip: x is never cropped (strips tile
+        # it); the two in-plane axes use the bucketed non-fill bbox
+        bits = [_fill_bf16_bits(c) for c in cfg.channels]
+        tf = cfg.transpose_forward
+        t0 = tf[0]
+        img_shape = grid.shape[1:]
+        assert img_shape[t0] == new_shape[0], (img_shape, new_shape, tf)
+        if os.environ.get("FNN_HOST_CROP", "1") == "1":
+            lo, hi = _nonfill_bbox(grid, bits, self.crop_bucket)
+        else:
+            lo, hi = [0] * 3, list(img_shape)
+        box = tuple(
+            (0, img_shape[ax]) if ax == t0
+            else _bucket_extent(lo[ax], hi[ax], img_shape[ax],
+                                self.crop_bucket)
+            for ax in range(3))
+
+        air = self.air_skip
+        thr = float(self.air_threshold)
+        in_ch = cfg.num_input_channels
+        pkey = ("stream", new_shape, vol_shape, n_folds, in_ch, box, air,
+                round(thr, 6), self.pack_mask, tuple(rolls_h), nb, B)
+        fns = self._jit_cache.setdefault(pkey, {})
+
+        K = cfg.num_classes
+        p0h, pyh, pzh = p0 // 2, patch[1] // 2, patch[2] // 2
+        C8 = 8 * K
+        acc_dtype = eng.sweep_acc_dtype
+        g = eng._gaussian_for(acc_dtype)
+        g_s2d = g.reshape(p0h, 2, pyh, 2, pzh, 2).transpose(
+            0, 2, 4, 1, 3, 5).reshape(p0h, pyh, pzh, 8)
+        plane = vol_shape[1:]
+        plane_h = (plane[0] // 2, plane[1] // 2)
+        use_features = n_folds == 1
+        forward = eng._tile_step_fn(n_folds, s2d_output=True,
+                                    s2d_features=use_features)
+        network = eng.network
+        compute_dtype = eng.compute_dtype
+        ny, nz = new_shape[1], new_shape[2]
+        t_fwd = (0,) + tuple(a + 1 for a in tf)
+        fills_bf16 = [np.asarray(b, np.uint16).view(ml_dtypes.bfloat16)
+                      for b in bits]
+        off_eng = (0, box[tf[1]][0], box[tf[2]][0])
+        win = (patch[1] // 8 + 1, patch[2] // 8 + 1)
+        flat = coords_b.reshape(-1, 3)
+        yi = np.asarray(flat[:, 1] // 8, np.int32)
+        zi = np.asarray(flat[:, 2] // 8, np.int32)
+
+        def make_prep(rows, rows_data):
+            # strip (image-order, bbox-cropped in-plane) -> engine-layout
+            # slab rows (rows, Yp, Zp, C): transpose, reinsert into the
+            # bf16-bit-exact fill, pad ring with the f64 fill — the exact
+            # construction _full_program uses, sliced to [row0, row0+rows)
+            def prep(strip):
+                s = jnp.transpose(strip, t_fwd).astype(compute_dtype)
+                chans = []
+                for c in range(in_ch):
+                    inner = jnp.full(
+                        (rows_data, ny, nz),
+                        jnp.asarray(fills_bf16[c], jnp.bfloat16),
+                        compute_dtype)
+                    inner = lax.dynamic_update_slice(inner, s[c], off_eng)
+                    inner = jnp.pad(
+                        inner, [(0, rows - rows_data), (0, plane[0] - ny),
+                                (0, plane[1] - nz)],
+                        constant_values=_fill_f64(cfg.channels[c]))
+                    chans.append(inner)
+                return jnp.stack(chans, axis=-1)
+            return prep
+
+        # tile gather + s2d accumulate: op-for-op mirror of the fused sweep
+        # (engine.py _build_sweep_runner_s2d gather_tiles/accumulate_batch)
+        # so the streamed mask is bit-equal to the fused one
+        def gather_tiles(vol, coords_b_):
+            patches = []
+            for b in range(coords_b_.shape[0]):
+                start = (coords_b_[b][0], coords_b_[b][1], coords_b_[b][2], 0)
+                patches.append(lax.dynamic_slice(
+                    vol, start, patch + (in_ch,)))
+            return jnp.stack(patches).astype(compute_dtype)
+
+        def accumulate_batch(a, vol, coords_b_, valid_b_, stacked_params):
+            out = forward(stacked_params, gather_tiles(vol, coords_b_))
+            if use_features:
+                single = jax.tree_util.tree_map(lambda t: t[0],
+                                                stacked_params)
+            for b in range(coords_b_.shape[0]):
+                if use_features:
+                    y = network.seg_head_apply(single, out[b]).astype(
+                        jnp.float32)
+                else:
+                    y = out[b]
+                y = y.reshape(p0h, pyh, pzh, 8, K)
+                gw = (g_s2d * valid_b_[b])[..., None]
+                contrib = (y * gw).astype(acc_dtype).reshape(
+                    p0h, pyh, pzh, C8)
+                start = (0, coords_b_[b][1] // 2, coords_b_[b][2] // 2, 0)
+                cur = lax.dynamic_slice(a, start, (p0h, pyh, pzh, C8))
+                a = lax.dynamic_update_slice(a, cur + contrib, start)
+            return a
+
+        def chunk_valid(slab, valid):
+            # air test over the tile's EXACT x extent (this chunk's slab);
+            # in-plane windows mirror the fused program's 8^3 block maxima
+            if not air:
+                return valid
+            x = slab[..., 0]
+            # pad to the 8^3 block grid with the air floor (mirrors the
+            # fused program: partial edge blocks can never hide body voxels)
+            bs = [-(-n // 8) * 8 for n in (p0, *plane)]
+            x = jnp.pad(x, [(0, b - n) for b, n in zip(bs, (p0, *plane))],
+                        constant_values=_fill_f64(cfg.channels[0]))
+            blocks = x.reshape(bs[0] // 8, 8, bs[1] // 8, 8,
+                               bs[2] // 8, 8).max((1, 3, 5)).max(0)
+            neg = jnp.asarray(-jnp.inf, blocks.dtype)
+            boxmax = lax.reduce_window(blocks, neg, lax.max, win, (1, 1),
+                                       [(0, w - 1) for w in win])
+            f = (boxmax[yi, zi] > thr).reshape(nb, B)
+            return f.astype(jnp.float32) * valid
+
+        def run_tiles(acc, slab, stacked_params, coords, valid):
+            valid_c = chunk_valid(slab, valid)
+
+            def tile_body(a, cv):
+                coords_b_, valid_b_ = cv
+                if air:
+                    return lax.cond(
+                        valid_b_.sum() > 0,
+                        lambda a_: accumulate_batch(a_, slab, coords_b_,
+                                                    valid_b_, stacked_params),
+                        lambda a_: a_, a), None
+                return accumulate_batch(a, slab, coords_b_, valid_b_,
+                                        stacked_params), None
+
+            acc, _ = lax.scan(tile_body, acc, (coords, valid_c))
+            return acc
+
+        def finalize(acc, n_rows_h):
+            # mirror of the fused finalize_rows (engine.py)
+            if eng.use_pallas_finalize:
+                from ..ops.pallas_finalize import grouped_argmax
+                cls8 = grouped_argmax(acc, K, n_rows_h,
+                                      interpret=eng._pallas_interpret)
+                cls8 = cls8.reshape(n_rows_h, 2, 2, 2, *plane_h)
+                cls8 = cls8.transpose(0, 1, 4, 2, 5, 3)
+                return cls8.reshape(2 * n_rows_h, *plane)
+            r = acc[:n_rows_h].reshape(n_rows_h, *plane_h, 8, K)
+            cls8 = r.argmax(-1).astype(jnp.uint8)
+            cls8 = cls8.reshape(n_rows_h, *plane_h, 2, 2, 2)
+            cls8 = cls8.transpose(0, 3, 1, 4, 2, 5)
+            return cls8.reshape(2 * n_rows_h, *plane)
+
+        def pack(s):
+            if not self.pack_mask:
+                return s
+            n = int(np.prod(s.shape))
+            flatm = s.reshape(-1)
+            if n % 4:
+                flatm = jnp.concatenate(
+                    [flatm, jnp.zeros(((-n) % 4,), jnp.uint8)])
+            q = flatm.reshape(-1, 4)
+            b0 = q[:, 0] | (q[:, 1] << 6)
+            b1 = (q[:, 1] >> 2) | (q[:, 2] << 4)
+            b2 = (q[:, 2] >> 4) | (q[:, 3] << 2)
+            return jnp.stack([b0, b1, b2], axis=-1)
+
+        def make_chunk(roll_h, srows, srows_data):
+            prep = make_prep(srows, srows_data)
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def chunk_fn(stacked_params, acc, slab, strip, coords, valid):
+                acc = run_tiles(acc, slab, stacked_params, coords, valid)
+                rows = finalize(acc, roll_h)[:, :ny, :nz]
+                acc = jnp.concatenate(
+                    [acc[roll_h:],
+                     jnp.zeros((roll_h, *plane_h, C8), acc_dtype)], 0)
+                slab = jnp.concatenate([slab[2 * roll_h:], prep(strip)], 0)
+                return acc, slab, pack(rows)
+            return chunk_fn
+
+        def make_last():
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def last_fn(stacked_params, acc, slab, coords, valid):
+                acc = run_tiles(acc, slab, stacked_params, coords, valid)
+                return pack(finalize(acc, p0h)[:, :ny, :nz])
+            return last_fn
+
+        aot_dir = getattr(eng, "aot_cache", None)
+
+        def run(fn_key, jitted, tag, *args):
+            # serialized-executable round trip per variant (inference/aot.py)
+            if not aot_dir:
+                return jitted(*args)
+            c = fns.get(("aot", fn_key))
+            if c is None:
+                from .aot import aot_compile
+                c = aot_compile(jitted, args, aot_dir, tag=tag)
+                fns[("aot", fn_key)] = c
+            return c(*args)
+
+        # -------- host orchestration: prefetch strips 2 ahead, fetch rows async
+        nx = new_shape[0]
+        bounds = [(0, p0)] + [(starts_x[k - 1] + p0, starts_x[k] + p0)
+                              for k in range(1, n_starts)]
+
+        def strip_np(a, b):
+            sl = [slice(None)]
+            for ax in range(3):
+                sl.append(slice(a, min(b, img_shape[ax])) if ax == t0
+                          else slice(box[ax][0], box[ax][1]))
+            return np.ascontiguousarray(grid[tuple(sl)])
+
+        strips = [strip_np(a, b) for a, b in bounds]
+        dstrips = [jax.device_put(strips[0])]
+        if n_starts >= 2:
+            dstrips.append(jax.device_put(strips[1]))
+
+        prep0 = fns.get("prep0")
+        if prep0 is None:
+            rd0 = min(p0, nx)
+            prep0 = jax.jit(make_prep(p0, rd0))
+            fns["prep0"] = prep0
+        slab = run("prep0", prep0, "turbo_prep0", dstrips[0])
+        acc = jnp.zeros((p0h, *plane_h, C8), acc_dtype)
+        coords_d = jnp.asarray(coords_b)
+        valid_d = jnp.asarray(valid_b)
+
+        pieces = []
+        for k in range(n_starts - 1):
+            if k + 2 < len(strips):
+                dstrips.append(jax.device_put(strips[k + 2]))
+            a, b = bounds[k + 1]
+            srows, srows_data = b - a, min(b, nx) - a
+            ck = ("chunk", rolls_h[k], srows, srows_data)
+            fn = fns.get(ck)
+            if fn is None:
+                fn = make_chunk(rolls_h[k], srows, srows_data)
+                fns[ck] = fn
+            acc, slab, packed = run(
+                ck, fn, f"turbo_chunk_r{rolls_h[k]}_{srows}_{srows_data}",
+                stacked, acc, slab, dstrips[k + 1], coords_d, valid_d)
+            try:
+                packed.copy_to_host_async()  # D2H overlaps later chunks
+            except AttributeError:
+                pass
+            pieces.append((2 * rolls_h[k], packed))
+            dstrips[k + 1] = None  # consumed; let the runtime free it
+
+        last_fn = fns.get("last")
+        if last_fn is None:
+            last_fn = make_last()
+            fns["last"] = last_fn
+        packed = run("last", last_fn, "turbo_last", stacked, acc, slab,
+                     coords_d, valid_d)
+        pieces.append((p0, packed))
+
+        if self.pack_mask:
+            segs = [_unpack_mask6(np.asarray(p), (r, ny, nz))
+                    for r, p in pieces]
+        else:
+            segs = [np.asarray(p) for r, p in pieces]
+        return np.concatenate(segs, 0)[:nx]
+
     # ------------------------------------------------------------------ prediction
     def predict_volume(self, params_list, volume: np.ndarray,
                        spacing: Sequence[float]) -> np.ndarray:
@@ -488,6 +823,20 @@ class TurboPipeline:
                 [c["lower_bound"] for c in chs], [c["upper_bound"] for c in chs],
                 [c["mean"] for c in chs], [c["std"] for c in chs])
             pre = upload is not None
+            if pre and os.environ.get("FNN_TURBO_STREAM", "1") == "1":
+                # streamed mode: per-chunk dispatches with strip-upload /
+                # row-fetch overlap (the wall win on slow device links);
+                # None = geometry doesn't stream, fall through to the
+                # fused single-dispatch program
+                seg = self._predict_streamed(stacked, upload, new_shape,
+                                             len(params_list))
+                if seg is not None:
+                    if seg.shape != vol_t.shape[1:]:
+                        from ..utils import hostops as _h
+                        rev = _h.nearest_revert_u8(seg, vol_t.shape[1:])
+                        seg = rev if rev is not None else \
+                            _nearest_revert_host(seg, vol_t.shape[1:])
+                    return np.transpose(seg, cfg.transpose_backward)
             if pre and os.environ.get("FNN_HOST_CROP", "1") == "1":
                 # everything the CT clip floor mapped exactly to the fill
                 # (air) need not cross the link: upload only the non-fill

@@ -1,0 +1,120 @@
+"""Streamed turbo path (per-chunk dispatch + strip prefetch,
+TurboPipeline._predict_streamed): must be BIT-identical to the fused
+single-dispatch program with air_skip off (same accumulate/finalize ops,
+same fill construction), and may differ only in AIR regions with air_skip
+on (the streamed air test uses the tile's exact x extent; the fused one a
+conservative block window — streamed skips strictly more all-air tiles).
+Skipped when libfnn_hostops.so isn't built (the streamed path is
+host-preprocess-only)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fast_nnunet_tpu.utils import hostops
+
+pytestmark = pytest.mark.skipif(
+    not hostops.available(), reason="libfnn_hostops.so not built")
+
+
+def _make(K=4, n_folds=1):
+    from fast_nnunet_tpu.inference.engine import SlidingWindowEngine
+    from fast_nnunet_tpu.models.factory import get_network_from_plans
+    from fast_nnunet_tpu.models.s2d import make_s2d_engine_net
+
+    arch = {"n_stages": 3, "features_per_stage": [8, 16, 32],
+            "kernel_sizes": [[3, 3, 3]] * 3,
+            "strides": [[1, 1, 1]] + [[2, 2, 2]] * 2,
+            "n_conv_per_stage": [2, 2, 2], "n_conv_per_stage_decoder": [2, 2],
+            "nonlin": "torch.nn.LeakyReLU"}
+    patch = (8, 8, 16)
+    net = get_network_from_plans("PlainConvUNet", arch, (), 1, K,
+                                 dtype=jnp.float32)
+    s2d = make_s2d_engine_net(net, arch, K, dtype=jnp.float32)
+    sps = []
+    for f in range(n_folds):
+        params = net.init(jax.random.PRNGKey(f), jnp.zeros((1, *patch, 1)),
+                          deep_supervision=False)
+        sps.append(s2d.convert_params(params))
+    eng = SlidingWindowEngine(s2d, patch, K, tile_step_size=0.5,
+                              shape_bucket=4, compute_dtype=jnp.float32,
+                              sweep_acc_dtype=jnp.float32, tile_batch=2,
+                              use_s2d_sweep=True)
+    return eng, sps if n_folds > 1 else sps[0]
+
+
+def _vol():
+    # engine x extent must exceed the patch so the sweep has >= 2 chunks;
+    # off-bucket body bbox exercises the per-strip crop reinsertion
+    rng = np.random.RandomState(21)
+    vol = np.full((30, 44, 26), -1000, np.int16)
+    vol[5:25, 7:39, 5:21] = (rng.rand(20, 32, 16) * 500 - 100).astype(
+        np.int16)
+    return vol, (1.0, 1.0, 1.0)
+
+
+def _pipe(eng, air_skip, host_preprocess=True):
+    from fast_nnunet_tpu.inference.turbo import TurboConfig, TurboPipeline
+    cfg = TurboConfig(patch_size=(16, 8, 8), target_spacing=(1.0, 1.1, 1.05),
+                      mean=127.475, std=318.463, lower_bound=-1024.0,
+                      upper_bound=3071.0, num_classes=eng.num_classes)
+    p = TurboPipeline(eng, cfg, host_preprocess=host_preprocess,
+                      air_skip=air_skip)
+    p.crop_bucket = 4
+    return p
+
+
+def test_streamed_bit_equals_fused_no_air(monkeypatch):
+    eng, sp = _make()
+    vol, spacing = _vol()
+    monkeypatch.setenv("FNN_TURBO_STREAM", "0")
+    seg_fused = _pipe(eng, air_skip=False).predict_volume(sp, vol, spacing)
+    monkeypatch.setenv("FNN_TURBO_STREAM", "1")
+    pipe = _pipe(eng, air_skip=False)
+    seg_stream = pipe.predict_volume(sp, vol, spacing)
+    # the streamed path must actually have engaged (multi-chunk geometry)
+    assert any(isinstance(k, tuple) and k and k[0] == "stream"
+               for k in pipe._jit_cache), "streamed path did not engage"
+    np.testing.assert_array_equal(seg_fused, seg_stream)
+
+
+def test_streamed_air_skip_differs_only_in_air(monkeypatch):
+    eng, sp = _make()
+    vol, spacing = _vol()
+    monkeypatch.setenv("FNN_TURBO_STREAM", "0")
+    seg_fused = _pipe(eng, air_skip=True).predict_volume(sp, vol, spacing)
+    monkeypatch.setenv("FNN_TURBO_STREAM", "1")
+    seg_stream = _pipe(eng, air_skip=True).predict_volume(sp, vol, spacing)
+    diff = seg_fused != seg_stream
+    if diff.any():
+        # any disagreement must sit in air (below the skip threshold, with
+        # slack for the resample): the deep body interior must be identical
+        from scipy import ndimage
+        body = vol > -1024 + 300
+        interior = ndimage.binary_erosion(body, iterations=3)
+        assert not (diff & interior).any(), \
+            f"{(diff & interior).sum()} body-interior voxels differ"
+        assert diff.mean() < 0.02, f"air-region diff too large: {diff.mean()}"
+
+
+def test_streamed_fold_ensemble(monkeypatch):
+    eng, sps = _make(K=3, n_folds=2)
+    vol, spacing = _vol()
+    monkeypatch.setenv("FNN_TURBO_STREAM", "0")
+    seg_fused = _pipe(eng, air_skip=False).predict_volume(sps, vol, spacing)
+    monkeypatch.setenv("FNN_TURBO_STREAM", "1")
+    seg_stream = _pipe(eng, air_skip=False).predict_volume(sps, vol, spacing)
+    np.testing.assert_array_equal(seg_fused, seg_stream)
+
+
+def test_streamed_no_crop_env(monkeypatch):
+    """FNN_HOST_CROP=0 must stream the full plane and still match."""
+    eng, sp = _make(K=3)
+    vol, spacing = _vol()
+    monkeypatch.setenv("FNN_HOST_CROP", "0")
+    monkeypatch.setenv("FNN_TURBO_STREAM", "0")
+    seg_fused = _pipe(eng, air_skip=False).predict_volume(sp, vol, spacing)
+    monkeypatch.setenv("FNN_TURBO_STREAM", "1")
+    seg_stream = _pipe(eng, air_skip=False).predict_volume(sp, vol, spacing)
+    np.testing.assert_array_equal(seg_fused, seg_stream)
