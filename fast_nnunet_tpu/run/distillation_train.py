@@ -19,11 +19,13 @@ def _resolve_teacher_folder(dataset_name: str, configuration: str,
                             teacher_folder: Optional[str],
                             teacher_plans_identifier: str = "nnUNetPlans",
                             teacher_trainer: str = "NNUNetTrainer") -> str:
-    from ..paths import get_results_folder
     if teacher_folder is not None:
         return teacher_folder
-    return join(get_results_folder(), dataset_name,
-                f"{teacher_trainer}__{teacher_plans_identifier}__{configuration}")
+    # spelling-tolerant: reference-trained teachers live under
+    # nnUNetTrainer__<plans>__<config> (ref file_path_utilities.py:11-27)
+    from ..utils.misc import get_output_folder
+    return get_output_folder(dataset_name, teacher_trainer,
+                             teacher_plans_identifier, configuration)
 
 
 def run_distillation_training(

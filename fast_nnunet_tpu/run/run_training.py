@@ -24,16 +24,21 @@ def register_trainer(cls):
 
 
 def find_trainer_class(name: str):
-    if name in TRAINER_REGISTRY:
-        return TRAINER_REGISTRY[name]
-    # built-ins
+    """Resolve a trainer class by name — OUR spelling (`NNUNetTrainer*`) or
+    the reference's (`nnUNetTrainer*`, `nnUNetDistillationTrainer*`; ref
+    distillation/nnunetv2/run/run_training.py:214-268), so every reference
+    `-tr <name>` command line is drop-in."""
     from ..training import trainer as _t
     from ..training import distill as _d
     from ..training import trainer_variants as _v
     from ..training import primus_trainers as _p
-    for mod in (_t, _d, _v, _p):
-        if hasattr(mod, name):
-            return getattr(mod, name)
+    from ..utils.misc import trainer_spelling_variants
+    for cand in trainer_spelling_variants(name):
+        if cand in TRAINER_REGISTRY:
+            return TRAINER_REGISTRY[cand]
+        for mod in (_t, _d, _v, _p):
+            if hasattr(mod, cand):
+                return getattr(mod, cand)
     raise RuntimeError(f"Unknown trainer class {name}")
 
 

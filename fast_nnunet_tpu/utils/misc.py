@@ -66,14 +66,39 @@ def convert_dataset_name_to_id(dataset_name: str) -> int:
     return int(dataset_name[7:10])
 
 
+def trainer_spelling_variants(trainer_name: str) -> List[str]:
+    """The given trainer name plus its reference-spelling twin: the
+    reference names trainers `nnUNetTrainer*` (ref distillation/nnunetv2/
+    run/run_training.py:214-268) where this framework uses `NNUNetTrainer*`
+    (PEP8 CapWords); both must interoperate on the CLI and on disk."""
+    names = [trainer_name]
+    if trainer_name.startswith("nnUNet"):
+        names.append("NNUNet" + trainer_name[len("nnUNet"):])
+    elif trainer_name.startswith("NNUNet"):
+        names.append("nnUNet" + trainer_name[len("NNUNet"):])
+    return names
+
+
 def get_output_folder(dataset_name_or_id, trainer_name: str = "NNUNetTrainer",
                       plans_identifier: str = "nnUNetPlans", configuration: str = "3d_fullres",
                       fold: Union[str, int, None] = None) -> str:
     """results/<Dataset>/<Trainer__Plans__config>[/fold_X]
-    (ref file_path_utilities.py:11-27)."""
+    (ref file_path_utilities.py:11-27). Spelling-tolerant on READ: when the
+    folder under the given trainer name does not exist but the
+    reference-spelled twin does (e.g. `nnUNetTrainer__nnUNetPlans__3d_fullres`
+    produced by the reference, asked for as `NNUNetTrainer`), the existing
+    folder is returned, so reference-trained result trees are drop-in."""
     from ..paths import get_results_folder
-    tmp = ffo.join(get_results_folder(), maybe_convert_to_dataset_name(dataset_name_or_id),
-                   f"{trainer_name}__{plans_identifier}__{configuration}")
+    base = ffo.join(get_results_folder(),
+                    maybe_convert_to_dataset_name(dataset_name_or_id))
+    tmp = None
+    for tn in trainer_spelling_variants(trainer_name):
+        cand = ffo.join(base, f"{tn}__{plans_identifier}__{configuration}")
+        if tmp is None:
+            tmp = cand  # canonical: the name as passed
+        if ffo.isdir(cand):
+            tmp = cand
+            break
     if fold is not None:
         tmp = ffo.join(tmp, f"fold_{fold}")
     return tmp
