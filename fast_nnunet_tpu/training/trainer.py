@@ -226,10 +226,19 @@ class NNUNetTrainer:
             val = [k for k in keys if k not in set(tr)]
         return tr, val
 
+    def _configure_rotation_dummyDA_mirroring_and_initial_patch_size(
+            self, patch_size):
+        """Hook so trainer variants change the DA geometry envelope (DA5
+        widens the initial-patch scale range to (0.7, 1.43), ref
+        nnUNetTrainerDA5.py:40-78)."""
+        return configure_rotation_dummyDA_mirroring_and_initial_patch_size(
+            patch_size)
+
     def get_dataloaders(self):
         patch_size = self.configuration_manager.patch_size
         rotation, dummy_2d, initial_patch, mirror_axes = \
-            configure_rotation_dummyDA_mirroring_and_initial_patch_size(patch_size)
+            self._configure_rotation_dummyDA_mirroring_and_initial_patch_size(
+                patch_size)
         self.inference_allowed_mirroring_axes = mirror_axes
         ds_scales = self._get_deep_supervision_scales()
         lm = self.label_manager

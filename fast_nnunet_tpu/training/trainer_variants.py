@@ -77,16 +77,32 @@ class NNUNetTrainerNoDA(NNUNetTrainer):
 
 
 class NNUNetTrainerDA5(NNUNetTrainer):
-    """Strong augmentation (ref variants/data_augmentation/nnUNetTrainerDA5.py)."""
+    """Strong augmentation — TRANSFORM-FOR-TRANSFORM replay of the
+    reference pipeline (ref variants/data_augmentation/nnUNetTrainerDA5.py:
+    39-292): see training/augment_da5.DA5TrainingAugmenter. The initial
+    patch size uses the DA5 scale envelope (0.7, 1.43) (ref :67-71).
+    FNN_DA5_CONDENSED=1 opts into the cheap 6-family condensed variant."""
+
+    def _configure_rotation_dummyDA_mirroring_and_initial_patch_size(
+            self, patch_size):
+        from .augment_da5 import \
+            configure_da5_rotation_dummyDA_mirroring_and_initial_patch_size
+        return configure_da5_rotation_dummyDA_mirroring_and_initial_patch_size(
+            patch_size)
 
     def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
                                  lm, ds_scales):
-        return DA5TrainingAugmenter(
+        import os
+        from .augment_da5 import DA5CondensedAugmenter
+        cls = DA5CondensedAugmenter if os.environ.get(
+            "FNN_DA5_CONDENSED", "0") == "1" else DA5TrainingAugmenter
+        return cls(
             patch_size, rotation, mirror_axes,
             use_mask_for_norm=self.configuration_manager.use_mask_for_norm,
             dummy_2d=dummy_2d,
             regions=lm.foreground_regions if lm.has_regions else None,
-            ignore_label=lm.ignore_label, ds_scales=ds_scales)
+            ignore_label=lm.ignore_label, ds_scales=ds_scales,
+            cascade_labels=lm.foreground_labels if self.is_cascaded else None)
 
 
 # --------------------------------------------------------------- deep supervision
@@ -422,18 +438,28 @@ NNUNetTrainer_noDummy2DDA = type(
 
 
 class NNUNetTrainerDA5ord0(NNUNetTrainerDA5):
-    """DA5 with order-0 data resampling (ref nnUNetTrainerDA5ord0:461)."""
+    """DA5 with order-0 spatial resampling for BOTH data and seg (ref
+    nnUNetTrainerDA5ord0:461-513: order_data=0, order_seg=0)."""
 
     def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
                                  lm, ds_scales):
         aug = super()._make_training_transform(patch_size, rotation, mirror_axes,
                                                dummy_2d, lm, ds_scales)
-        aug.spatial_data_order = 0
+        aug.spatial_data_order = aug.data_order = 0
+        aug.seg_order = 0
         return aug
 
 
-# seg is already order 0 here (see DASegOrd0 note above)
-NNUNetTrainerDA5Segord0 = type("NNUNetTrainerDA5Segord0", (NNUNetTrainerDA5,), {})
+class NNUNetTrainerDA5Segord0(NNUNetTrainerDA5):
+    """DA5 with order-0 SEG resampling only (ref nnUNetTrainerDA5Segord0:
+    688-780: order_data stays 3, order_seg=0)."""
+
+    def _make_training_transform(self, patch_size, rotation, mirror_axes, dummy_2d,
+                                 lm, ds_scales):
+        aug = super()._make_training_transform(patch_size, rotation, mirror_axes,
+                                               dummy_2d, lm, ds_scales)
+        aug.seg_order = 0
+        return aug
 
 
 class NNUNetTrainer_onlyMirror01_DA5(NNUNetTrainerDA5):
