@@ -314,7 +314,22 @@ class NNUNetTrainerBenchmark_5epochs(NNUNetTrainer):
 
 class NNUNetTrainerBenchmark_5epochs_noDataLoading(NNUNetTrainerBenchmark_5epochs):
     """Feeds one cached dummy batch every iteration to isolate device compute
-    from the input pipeline (ref nnUNetTrainerBenchmark_5epochs_noDataLoading.py)."""
+    from the input pipeline (ref nnUNetTrainerBenchmark_5epochs_noDataLoading.py).
+
+    The device conversion is memoized per cached batch: the reference's
+    per-iteration ``.to(device)`` is free over PCIe, but re-uploading the same
+    batch through a dev tunnel would make this variant measure transfer — the
+    one thing it exists NOT to measure."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._device_batch_cache = {}
+
+    def _batch_to_device(self, batch: dict):
+        key = id(batch)
+        if key not in self._device_batch_cache:
+            self._device_batch_cache[key] = super()._batch_to_device(batch)
+        return self._device_batch_cache[key]
 
     def get_dataloaders(self):
         super().get_dataloaders()
