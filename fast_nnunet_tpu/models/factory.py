@@ -46,13 +46,14 @@ def _negative_slope(nonlin_name: Optional[str], nonlin_kwargs: Optional[dict]) -
 
 def build_network_from_arch_dict(architecture: dict, input_channels: int,
                                  num_classes: int,
-                                 dtype: Optional[jnp.dtype] = None):
+                                 dtype: Optional[jnp.dtype] = None,
+                                 remat: bool = False):
     """architecture = plans['configurations'][cfg]['architecture']."""
     return get_network_from_plans(
         architecture["network_class_name"],
         architecture["arch_kwargs"],
         architecture.get("_kw_requires_import", ()),
-        input_channels, num_classes, dtype=dtype)
+        input_channels, num_classes, dtype=dtype, remat=remat)
 
 
 def get_network_from_plans(arch_class_name: str, arch_kwargs: dict,
@@ -60,7 +61,8 @@ def get_network_from_plans(arch_class_name: str, arch_kwargs: dict,
                            input_channels: int, output_channels: int,
                            allow_init: bool = True,
                            deep_supervision: Union[bool, None] = None,
-                           dtype: Optional[jnp.dtype] = None):
+                           dtype: Optional[jnp.dtype] = None,
+                           remat: bool = False):
     short = arch_class_name.rsplit(".", 1)[-1]
     if short not in _ARCH_MAP:
         raise ValueError(f"Unknown architecture class {arch_class_name}. "
@@ -96,6 +98,7 @@ def get_network_from_plans(arch_class_name: str, arch_kwargs: dict,
         nonlin_negative_slope=slope,
         dim=dim,
         dtype=dtype,
+        remat=remat,
     )
     if cls is PlainConvUNet:
         return cls(n_conv_per_stage=tuple(int(n) for n in kw["n_conv_per_stage"]), **common)

@@ -50,12 +50,19 @@ class PlainConvEncoder(nn.Module):
     norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, ...]:
+        # stage-level activation checkpointing: only stage boundaries (the
+        # skips) stay live through backward; intra-stage conv/norm/relu
+        # activations are recomputed. At bone_turbo training scale
+        # (batch 2 x 160x96x96, features [32..320]) the full-graph backward
+        # wants ~32 GB of HLO temps vs the v5e's 16 GB HBM; remat fits it.
+        Stack = nn.remat(StackedConvBlocks) if self.remat else StackedConvBlocks
         skips = []
         for s in range(self.n_stages):
-            x = StackedConvBlocks(
+            x = Stack(
                 n_convs=self.n_conv_per_stage[s],
                 features=self.features_per_stage[s],
                 kernel_size=self.kernel_sizes[s],
@@ -81,10 +88,13 @@ class ResidualEncoder(nn.Module):
     norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, ...]:
         dim = len(self.kernel_sizes[0])
+        # block-level activation checkpointing (see PlainConvEncoder)
+        Block = nn.remat(BasicResBlockD) if self.remat else BasicResBlockD
         # stem: one plain conv block to features[0], stride 1 (DNA ResidualEncoder)
         x = ConvDropoutNormReLU(
             features=self.features_per_stage[0],
@@ -99,7 +109,7 @@ class ResidualEncoder(nn.Module):
         skips = []
         for s in range(self.n_stages):
             for b in range(self.n_blocks_per_stage[s]):
-                x = BasicResBlockD(
+                x = Block(
                     features=self.features_per_stage[s],
                     kernel_size=self.kernel_sizes[s],
                     strides=self.strides[s] if b == 0 else (1,) * dim,
@@ -125,12 +135,15 @@ class UNetDecoder(nn.Module):
     norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, skips: Tuple[Array, ...], deep_supervision: bool = False
                  ) -> Union[Array, Tuple[Array, ...]]:
         n_stages_encoder = len(skips)
         dim = len(self.kernel_sizes[0])
+        # stage-level activation checkpointing (see PlainConvEncoder)
+        Stack = nn.remat(StackedConvBlocks) if self.remat else StackedConvBlocks
         lres_input = skips[-1]
         seg_outputs = []
         for s in range(1, n_stages_encoder):
@@ -147,7 +160,7 @@ class UNetDecoder(nn.Module):
                 dtype=self.dtype,
                 name=f"transpconv_{s - 1}")(lres_input)
             x = jnp.concatenate([x, skips[-(s + 1)].astype(x.dtype)], axis=-1)
-            x = StackedConvBlocks(
+            x = Stack(
                 n_convs=self.n_conv_per_stage_decoder[s - 1],
                 features=features_skip,
                 kernel_size=self.kernel_sizes[-(s + 1)],
@@ -190,6 +203,7 @@ class PlainConvUNet(nn.Module):
     nonlin_negative_slope: float = 0.01
     dim: int = 3
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
         ks = _as_tuples(self.kernel_sizes, self.n_stages, self.dim)
@@ -199,14 +213,16 @@ class PlainConvUNet(nn.Module):
             kernel_sizes=ks, strides=st, n_conv_per_stage=self.n_conv_per_stage,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
             norm_kind=self.norm_kind,
-            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
+            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype,
+            remat=self.remat)
         self.decoder = UNetDecoder(
             num_classes=self.num_classes, features_per_stage=self.features_per_stage,
             kernel_sizes=ks, strides=st,
             n_conv_per_stage_decoder=self.n_conv_per_stage_decoder,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
             norm_kind=self.norm_kind,
-            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
+            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype,
+            remat=self.remat)
 
     def __call__(self, x: Array, deep_supervision: bool = False):
         skips = self.encoder(x)
@@ -230,6 +246,7 @@ class ResidualEncoderUNet(nn.Module):
     nonlin_negative_slope: float = 0.01
     dim: int = 3
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
         ks = _as_tuples(self.kernel_sizes, self.n_stages, self.dim)
@@ -239,14 +256,16 @@ class ResidualEncoderUNet(nn.Module):
             kernel_sizes=ks, strides=st, n_blocks_per_stage=self.n_blocks_per_stage,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
             norm_kind=self.norm_kind,
-            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
+            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype,
+            remat=self.remat)
         self.decoder = UNetDecoder(
             num_classes=self.num_classes, features_per_stage=self.features_per_stage,
             kernel_sizes=ks, strides=st,
             n_conv_per_stage_decoder=self.n_conv_per_stage_decoder,
             conv_bias=self.conv_bias, norm_eps=self.norm_eps,
             norm_kind=self.norm_kind,
-            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype)
+            nonlin_negative_slope=self.nonlin_negative_slope, dtype=self.dtype,
+            remat=self.remat)
 
     def __call__(self, x: Array, deep_supervision: bool = False):
         skips = self.encoder(x)

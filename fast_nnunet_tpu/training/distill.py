@@ -150,7 +150,7 @@ class NNUNetDistillationTrainer(NNUNetTrainer):
         return get_network_from_plans(
             arch["network_class_name"], student_kwargs, (),
             self.num_input_channels, self.label_manager.num_segmentation_heads,
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype, remat=self._use_remat())
 
     # ------------------------------------------------------------------ teachers
     def load_teacher_model(self) -> None:

@@ -197,7 +197,23 @@ class NNUNetTrainer:
         return build_network_from_arch_dict(
             self.configuration_manager.configuration["architecture"],
             self.num_input_channels, self.label_manager.num_segmentation_heads,
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype, remat=self._use_remat())
+
+    def _use_remat(self) -> bool:
+        """Stage-level activation checkpointing for the train step.
+
+        Auto: on when the batch is big enough that the full backward graph
+        would not fit a 16 GB accelerator (measured: batch 2 x 160x96x96 at
+        teacher width wants ~32 GB of HLO temps on a v5e without it; with it
+        the same step fits). The reference never needs this knob because
+        torch frees per-op as it goes — under XLA, rematerialization is the
+        equivalent lever. FNN_REMAT=0/1 overrides."""
+        env = os.environ.get("FNN_REMAT", "")
+        if env in ("0", "1"):
+            return env == "1"
+        voxels = self.configuration_manager.batch_size * int(
+            np.prod(self.configuration_manager.patch_size))
+        return voxels >= 2 ** 21  # 2M voxels/batch (e.g. 2 x 128^3)
 
     def configure_optimizer(self, total_steps: int):
         return nnunet_sgd(poly_lr_jax(self.initial_lr, total_steps),

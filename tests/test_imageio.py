@@ -216,3 +216,59 @@ def test_reorient_io_ras_and_restore(tmp_path):
                       NiftiIOWithReorient)
     assert issubclass(find_reader_writer_by_name("SimpleITKIOWithReorient"),
                       NiftiIOWithReorient)
+
+
+# ---------------------------------------------------------------- fastgz
+def test_fastgz_roundtrip_and_stdlib_interop():
+    """libdeflate codec: our compress <-> stdlib, stdlib compress <-> our
+    decompress, multi-member files, and the no-library fallback contract."""
+    import gzip as _gzip
+    from fast_nnunet_tpu.utils import fastgz
+
+    rng = np.random.RandomState(3)
+    payload = rng.randint(0, 255, size=300_000, dtype=np.uint8)
+    payload[1000:200_000] = 7  # compressible middle
+
+    if not fastgz.available():
+        assert fastgz.gzip_compress(payload) is None
+        assert fastgz.gzip_decompress(b"\x1f\x8b") is None
+        pytest.skip("libdeflate not on this host (fallback contract checked)")
+
+    blob = fastgz.gzip_compress(payload, level=1)
+    assert _gzip.decompress(blob) == payload.tobytes()
+
+    std_blob = _gzip.compress(payload.tobytes(), compresslevel=1)
+    out = fastgz.gzip_decompress(std_blob)
+    assert out is not None and out.tobytes() == payload.tobytes()
+
+    # multi-member (bgzf-style concatenation) + trailing zero pad
+    two = blob + std_blob + b"\x00" * 37
+    out2 = fastgz.gzip_decompress(two)
+    assert out2.tobytes() == payload.tobytes() * 2
+
+    # Fortran-order ndarray source: compress must read the buffer as laid out
+    arr = np.asfortranarray(rng.randn(40, 30, 20).astype(np.float32))
+    flat = arr.reshape(-1, order="F")
+    assert _gzip.decompress(fastgz.gzip_compress(flat)) == flat.tobytes()
+
+
+def test_nifti_gz_roundtrip_matches_uncompressed(tmp_path):
+    """write_nifti/.gz (libdeflate path) and read_nifti stay bit-exact with
+    the uncompressed path, including non-trivial affine and int16 data."""
+    rng = np.random.RandomState(5)
+    data = rng.randint(-900, 2000, size=(33, 21, 17), dtype=np.int16)
+    hdr = {"pixdim": [1.0, 0.7, 0.9, 1.3, 0, 0, 0, 0],
+           "srow_x": [0.7, 0, 0, -10.0], "srow_y": [0, 0.9, 0, 4.0],
+           "srow_z": [0, 0, 1.3, 2.5], "sform_code": 1, "qform_code": 0,
+           "quatern": [0.0] * 6}
+    from fast_nnunet_tpu.imageio.nifti import read_nifti, write_nifti
+    p_gz = str(tmp_path / "a.nii.gz")
+    p_raw = str(tmp_path / "a.nii")
+    write_nifti(p_gz, data, hdr)
+    write_nifti(p_raw, data, hdr)
+    d1, h1 = read_nifti(p_gz)
+    d2, h2 = read_nifti(p_raw)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(d1, data)
+    assert h1["srow_x"] == h2["srow_x"]  # header f32 round-trips identically
+    np.testing.assert_allclose(h1["srow_x"], [0.7, 0.0, 0.0, -10.0], rtol=1e-6)

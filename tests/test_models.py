@@ -172,3 +172,54 @@ def test_estimator_resenc_counts_skip():
     expected = 4096 + 8192 + 1536 + 4096 + 4096 + 1536
     got = compute_conv_feature_map_size("ResidualEncoderUNet", kw, (8, 8, 8), 3, True)
     assert got == expected
+
+
+RESENC_3D = {
+    "n_stages": 3,
+    "features_per_stage": [8, 16, 32],
+    "conv_op": "torch.nn.modules.conv.Conv3d",
+    "kernel_sizes": [[3, 3, 3]] * 3,
+    "strides": [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+    "n_blocks_per_stage": [1, 2, 2],
+    "n_conv_per_stage_decoder": [1, 1],
+    "conv_bias": True,
+    "norm_op": "torch.nn.modules.instancenorm.InstanceNorm3d",
+    "norm_op_kwargs": {"eps": 1e-5, "affine": True},
+    "dropout_op": None,
+    "dropout_op_kwargs": None,
+    "nonlin": "torch.nn.LeakyReLU",
+    "nonlin_kwargs": {"inplace": True},
+}
+
+
+@pytest.mark.parametrize("arch_name,kw", [
+    ("dynamic_network_architectures.architectures.unet.PlainConvUNet", ARCH_3D),
+    ("dynamic_network_architectures.architectures.unet.ResidualEncoderUNet",
+     RESENC_3D),
+])
+def test_remat_same_params_outputs_grads(arch_name, kw):
+    """Stage-level activation checkpointing (remat=True) must be a pure
+    memory/time trade: identical param tree, identical forward outputs, and
+    gradients equal up to float reassociation (XLA re-fuses the recomputed
+    forward, so ResEnc grads differ at ~1e-7 in f32; verified ~1e-13 in f64,
+    i.e. rounding, not a graph bug)."""
+    x = np.random.RandomState(0).randn(1, 16, 16, 16, 1).astype(np.float32)
+
+    def build(remat):
+        net = get_network_from_plans(arch_name, kw, (), 1, 3, remat=remat)
+        params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        def loss(p):
+            out = net.apply(p, jnp.asarray(x))
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return params, net.apply(params, jnp.asarray(x)), jax.grad(loss)(params)
+
+    p0, y0, g0 = build(False)
+    p1, y1, g1 = build(True)
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: jnp.array_equal(a, b), p0, p1))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
