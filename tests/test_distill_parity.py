@@ -19,7 +19,10 @@ Recipe notes (experiments/probe_distill_recipe.py, round-4 sweeps):
 - 30 training cases: the round-4 diagnostic showed the student-teacher gap
   lives in GENERALIZATION (train gap 0.017 vs held-out gap 0.086 at 10
   cases); more layouts close it.
-Marked slow (~10 min of real training on the 1-core CI box).
+Hyperparameters are the REFERENCE DEFAULTS (alpha=0.3, T=3.0 — ref
+README.md:97); round-5 measured student 0.9024 vs teacher 0.8975 held-out
+at these settings (student wins). Marked slow (~12 min quiet / ~18 min on
+a contended 1-core CI box at 30 teacher + 45 student epochs).
 """
 import os
 
@@ -39,10 +42,12 @@ RADIUS = (5, 7)
 # isotropic: anisotropic test spacing makes the planner resample z and the
 # interpolation blur on blob boundaries caps held-out Dice (round-4 probes)
 SPACING = (1.0, 1.0, 1.0)
-EPOCHS_TEACHER = 40
-EPOCHS_STUDENT = 60
+EPOCHS_TEACHER = 30
+EPOCHS_STUDENT = 45
 ITERS = 25
-ALPHA = 0.5
+# reference-default distillation hyperparameters (ref README.md:97):
+# loss = alpha * KD(T=3.0) + (1-alpha) * seg, alpha=0.3
+ALPHA = 0.3
 
 
 def _fg_dice(pred: np.ndarray, ref: np.ndarray, n_classes: int) -> float:
