@@ -112,6 +112,23 @@ class NNUNetPredictor:
                 arch["network_class_name"], student_kwargs, (),
                 num_input_channels, label_manager.num_segmentation_heads,
                 dtype=jnp.bfloat16)
+        elif init_args and init_args.get("primus_arch"):
+            # Primus trainers override the plans architecture entirely; the
+            # checkpoint's init_args carry the transformer dims (see
+            # AbstractPrimusTrainer._init_args). drop_path is inert at
+            # inference (deterministic apply), but the static knobs must
+            # match training so the param tree restores 1:1.
+            from ..models.primus import Primus
+            pa = init_args["primus_arch"]
+            network = Primus(
+                input_channels=num_input_channels,
+                embed_dim=int(pa["embed_dim"]),
+                patch_embed_size=tuple(int(p) for p in pa["patch_embed_size"]),
+                num_classes=label_manager.num_segmentation_heads,
+                depth=int(pa["depth"]), num_heads=int(pa["num_heads"]),
+                patch_size=tuple(configuration_manager.patch_size),
+                drop_path_rate=0.2, scale_attn_inner=True, init_values=0.1,
+                dtype=jnp.bfloat16)
         else:
             network = build_network_from_arch_dict(
                 arch, num_input_channels, label_manager.num_segmentation_heads,

@@ -29,6 +29,18 @@ class AbstractPrimusTrainer(NNUNetTrainer):
         self.weight_decay = 5e-2
         self.warmup_epochs = 50
 
+    def _init_args(self) -> dict:
+        # the checkpoint is self-describing: the predictor rebuilds the
+        # Primus from these dims instead of the plans' CNN architecture
+        # (ref predict_from_raw_data.py:89-104 — trainer_name drives the
+        # build; recording dims also covers ad-hoc subclasses)
+        args = super()._init_args()
+        args["primus_arch"] = {
+            "embed_dim": int(self.embed_dim), "depth": int(self.depth),
+            "num_heads": int(self.num_heads),
+            "patch_embed_size": [int(p) for p in self.patch_embed_size]}
+        return args
+
     def build_network_architecture(self):
         return Primus(
             input_channels=self.num_input_channels,
