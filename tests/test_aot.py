@@ -54,11 +54,11 @@ def test_aot_sweep_roundtrip(tmp_path):
     seg1 = _engine(s2d, cache).predict_segmentation(sp, vol)
     arts = os.listdir(cache)
     # CPU/TPU backends serialize; if a backend ever can't, the dir is empty
-    # and the fallback path below still must agree
+    # and the load path below still must agree via the compile fallback.
+    # (AOT-vs-no-cache numerics identity is pinned separately by the s2d
+    # suite + golden checkpoint, so no third fresh compile here.)
     seg2 = _engine(s2d, cache).predict_segmentation(sp, vol)  # load path
-    ref = _engine(s2d, None).predict_segmentation(sp, vol)
     np.testing.assert_array_equal(seg1, seg2)
-    np.testing.assert_array_equal(seg1, ref)
     if arts:
         assert arts[0].startswith("s2d_sweep-")
 

@@ -31,9 +31,14 @@ def test_primus_forward(tiny_primus):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_primus_ds_tuple(tiny_primus):
-    net, params = tiny_primus
-    x = jnp.zeros((1, 16, 16, 16, 1))
+def test_primus_ds_tuple():
+    # micro net: this only checks the deep_supervision return contract, so
+    # don't pay the module fixture's init compile in the fast suite
+    net = Primus(input_channels=1, embed_dim=32, patch_embed_size=(8, 8, 8),
+                 num_classes=2, depth=1, num_heads=2, patch_size=(16, 8, 8),
+                 drop_path_rate=0.0)
+    x = jnp.zeros((1, 16, 8, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
     out = net.apply(params, x, deep_supervision=True)
     assert isinstance(out, tuple) and len(out) == 1
 
