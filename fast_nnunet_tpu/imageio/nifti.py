@@ -190,19 +190,24 @@ def write_nifti(fname: str, data: np.ndarray, header: Optional[dict] = None,
     hdr[344:348] = b"n+1\x00"
 
     flat = np.asfortranarray(data).reshape(-1, order="F").view(np.uint8)
-    full = np.empty(HEADER_SIZE + 4 + flat.nbytes, np.uint8)
-    full[:HEADER_SIZE] = np.frombuffer(bytes(hdr), np.uint8)
-    full[HEADER_SIZE:HEADER_SIZE + 4] = 0
-    full[HEADER_SIZE + 4:] = flat
+    head = bytes(hdr) + b"\x00\x00\x00\x00"
     if fname.endswith(".gz"):
         level = int(os.environ.get("FNN_GZIP_LEVEL", 1))
-        blob = fastgz.gzip_compress(full, level)
-        if blob is not None:  # libdeflate: 14x faster than zlib L1 on masks
+        # two gzip members (header+offset, then the voxel payload view):
+        # concatenated members are standard gzip, every reader (stdlib,
+        # zlib gzread, nibabel, our fastgz) handles them, and skipping the
+        # single-buffer assembly saves a full memcpy of the payload
+        # (0.6 s of the 118 MB e2e mask write)
+        b1 = fastgz.gzip_compress(np.frombuffer(head, np.uint8), level)
+        b2 = fastgz.gzip_compress(flat, level)
+        if b1 is not None and b2 is not None:
             with open(fname, "wb") as f:
-                f.write(blob)
+                f.write(b1)
+                f.write(b2)
             return
     with _open(fname, "wb") as f:
-        f.write(full.tobytes())
+        f.write(head)
+        f.write(flat.tobytes())
 
 
 class NiftiIO(BaseReaderWriter):
