@@ -50,7 +50,7 @@ class PlainConvEncoder(nn.Module):
     norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True | "encoder"
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, ...]:
@@ -88,7 +88,7 @@ class ResidualEncoder(nn.Module):
     norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True | "encoder"
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, ...]:
@@ -135,15 +135,27 @@ class UNetDecoder(nn.Module):
     norm_kind: str = "instance"
     nonlin_negative_slope: float = 0.01
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True | "encoder"
 
     @nn.compact
     def __call__(self, skips: Tuple[Array, ...], deep_supervision: bool = False
                  ) -> Union[Array, Tuple[Array, ...]]:
         n_stages_encoder = len(skips)
         dim = len(self.kernel_sizes[0])
-        # stage-level activation checkpointing (see PlainConvEncoder)
-        Stack = nn.remat(StackedConvBlocks) if self.remat else StackedConvBlocks
+        # stage-level activation checkpointing (see PlainConvEncoder).
+        # remat="encoder" checkpoints the encoder only; remat="light"
+        # additionally checkpoints the full-resolution decoder stage (the
+        # largest activations) but keeps the lower-resolution decoder stages
+        # live. Memory ladder measured at bone_turbo teacher scale on a
+        # 16 GB v5e (docs/Performance.md round-5): True fits; "light" fits;
+        # "encoder" OOMs at 18.2 G; False OOMs at ~32 G. Throughput is the
+        # same for True and "light" (993 vs 986 ms/step) — the step's layout
+        # copies come from the InstanceNorm f32 relayout, not the barriers —
+        # so True stays the default and "light" is the knob for bigger-HBM
+        # parts where saved decoder activations may pay off.
+        remat_full = self.remat is True
+        remat_fullres_only = self.remat == "light"
+        StackR = nn.remat(StackedConvBlocks)
         lres_input = skips[-1]
         seg_outputs = []
         for s in range(1, n_stages_encoder):
@@ -160,6 +172,9 @@ class UNetDecoder(nn.Module):
                 dtype=self.dtype,
                 name=f"transpconv_{s - 1}")(lres_input)
             x = jnp.concatenate([x, skips[-(s + 1)].astype(x.dtype)], axis=-1)
+            use_remat = remat_full or (remat_fullres_only
+                                       and s == n_stages_encoder - 1)
+            Stack = StackR if use_remat else StackedConvBlocks
             x = Stack(
                 n_convs=self.n_conv_per_stage_decoder[s - 1],
                 features=features_skip,
@@ -203,7 +218,7 @@ class PlainConvUNet(nn.Module):
     nonlin_negative_slope: float = 0.01
     dim: int = 3
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True | "encoder"
 
     def setup(self):
         ks = _as_tuples(self.kernel_sizes, self.n_stages, self.dim)
@@ -246,7 +261,7 @@ class ResidualEncoderUNet(nn.Module):
     nonlin_negative_slope: float = 0.01
     dim: int = 3
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True | "encoder"
 
     def setup(self):
         ks = _as_tuples(self.kernel_sizes, self.n_stages, self.dim)

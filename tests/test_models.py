@@ -226,3 +226,25 @@ def test_remat_same_params_outputs_grads(arch_name, kw):
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_remat_partial_modes_match():
+    """remat="encoder"/"light" (partial checkpointing — the memory ladder for
+    different HBM sizes, models/unet.py UNetDecoder) must build the identical
+    param tree and the identical function as remat=True."""
+    x = np.random.RandomState(1).randn(1, 12, 12, 12, 1).astype(np.float32)
+    arch = "dynamic_network_architectures.architectures.unet.PlainConvUNet"
+
+    def build(remat):
+        net = get_network_from_plans(arch, ARCH_3D, (), 1, 3, remat=remat)
+        params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        return params, net.apply(params, jnp.asarray(x), deep_supervision=True)
+
+    p_ref, y_ref = build(True)
+    for mode in ("encoder", "light"):
+        p, y = build(mode)
+        assert jax.tree_util.tree_all(
+            jax.tree.map(lambda a, b: jnp.array_equal(a, b), p_ref, p))
+        for a, b in zip(y_ref, y):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
