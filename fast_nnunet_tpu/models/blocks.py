@@ -29,14 +29,48 @@ def _same_padding(kernel_size: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
 
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over spatial dims (torch
-    InstanceNorm{2,3}d parity: eps, affine, no running stats)."""
+    InstanceNorm{2,3}d parity: eps, affine, no running stats).
+
+    ``onepass=True`` (training builds; norm_kind="instance1p") computes the
+    stats in one pass — E[x^2]-E[x]^2, clamped >= 0 — with f32-accumulating
+    reduces that read the (bf16) input directly, and applies the norm as a
+    folded per-channel affine y = x*a + b. This keeps XLA from relayouting a
+    full-resolution f32 tensor into a C-in-lanes (4x-padded at C=32) layout
+    around the stats in BOTH the forward and the remat'd backward: measured
+    986 -> 864 ms/step at bone_turbo teacher scale on v5e (docs/
+    Performance.md round-5, "copy bucket" series). The mean is bit-identical
+    to the two-pass form (same f32 accumulation order class); var and the
+    folded apply differ at ~1e-6 rel. Inference builds keep the canonical
+    two-pass form below so serving numerics stay bit-stable — and because
+    one-pass stats measured NEGATIVE for the inference sweep program
+    (models/s2d.py:184-186), the two contexts genuinely want different forms.
+    """
     eps: float = 1e-5
     affine: bool = True
+    onepass: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         orig_dtype = x.dtype
         spatial_axes = tuple(range(1, x.ndim - 1))
+        if self.onepass:
+            mean = jnp.mean(x, axis=spatial_axes, keepdims=True,
+                            dtype=jnp.float32)
+            m2 = jnp.mean(jnp.square(x.astype(jnp.float32)),
+                          axis=spatial_axes, keepdims=True, dtype=jnp.float32)
+            var = jnp.maximum(m2 - mean * mean, 0.0)
+            inv = jax.lax.rsqrt(var + self.eps)
+            if self.affine:
+                c = x.shape[-1]
+                scale = self.param("scale", nn.initializers.ones, (c,),
+                                   jnp.float32)
+                bias = self.param("bias", nn.initializers.zeros, (c,),
+                                  jnp.float32)
+                a = inv * scale
+                b = bias - mean * a
+            else:
+                a, b = inv, -mean * inv
+            return (x.astype(jnp.float32) * a + b).astype(orig_dtype)
         x32 = x.astype(jnp.float32)
         mean = x32.mean(axis=spatial_axes, keepdims=True)
         var = x32.var(axis=spatial_axes, keepdims=True)
@@ -104,6 +138,8 @@ class BatchStatsNorm(nn.Module):
 def _norm(kind: str, eps: float, name: str, affine: bool = True):
     if kind == "batch":
         return BatchStatsNorm(eps=eps, affine=affine, name=name)
+    if kind == "instance1p":  # training builds (see InstanceNorm.onepass)
+        return InstanceNorm(eps=eps, affine=affine, name=name, onepass=True)
     return InstanceNorm(eps=eps, affine=affine, name=name)
 
 

@@ -150,7 +150,8 @@ class NNUNetDistillationTrainer(NNUNetTrainer):
         return get_network_from_plans(
             arch["network_class_name"], student_kwargs, (),
             self.num_input_channels, self.label_manager.num_segmentation_heads,
-            dtype=self.compute_dtype, remat=self._use_remat())
+            dtype=self.compute_dtype, remat=self._use_remat(),
+            norm_onepass=True)
 
     # ------------------------------------------------------------------ teachers
     def load_teacher_model(self) -> None:
@@ -159,9 +160,13 @@ class NNUNetDistillationTrainer(NNUNetTrainer):
         tm_plans_file = join(self.teacher_model_folder, "plans.json")
         teacher_plans = PlansManager(tm_plans_file)
         teacher_cfg = teacher_plans.get_configuration(self.configuration_name)
+        # teachers run inside the jitted distill step (forward-only) — the
+        # one-pass norm saves their full-res stats relayouts too; logits
+        # shift ~1e-6 rel vs the serving form, harmless under softmax(T)
         self.teacher_network = build_network_from_arch_dict(
             teacher_cfg.configuration["architecture"], self.num_input_channels,
-            self.label_manager.num_segmentation_heads, dtype=self.compute_dtype)
+            self.label_manager.num_segmentation_heads, dtype=self.compute_dtype,
+            norm_onepass=True)
 
         patch = tuple(self.configuration_manager.patch_size)
         example = jnp.zeros((1, *patch, self.num_input_channels))

@@ -194,10 +194,14 @@ class NNUNetTrainer:
         self.was_initialized = True
 
     def build_network_architecture(self):
+        # norm_onepass: training graphs use the one-pass folded InstanceNorm
+        # (12-18% step win on TPU, blocks.InstanceNorm.onepass); the predictor
+        # rebuilds from plans with the default two-pass form for serving.
         return build_network_from_arch_dict(
             self.configuration_manager.configuration["architecture"],
             self.num_input_channels, self.label_manager.num_segmentation_heads,
-            dtype=self.compute_dtype, remat=self._use_remat())
+            dtype=self.compute_dtype, remat=self._use_remat(),
+            norm_onepass=True)
 
     def _use_remat(self) -> bool:
         """Stage-level activation checkpointing for the train step.

@@ -248,3 +248,24 @@ def test_remat_partial_modes_match():
         for a, b in zip(y_ref, y):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
+
+
+def test_norm_onepass_matches_twopass():
+    """The training builds' one-pass folded InstanceNorm (norm_onepass=True,
+    blocks.InstanceNorm.onepass — the measured 12-18% train-step win on TPU)
+    must produce the same param tree as the serving form and the same function
+    to float-rounding: checkpoints trained with it restore into the default
+    two-pass inference build unchanged."""
+    x = np.random.RandomState(2).randn(1, 12, 12, 12, 1).astype(np.float32)
+    arch = "dynamic_network_architectures.architectures.unet.PlainConvUNet"
+    net2 = get_network_from_plans(arch, ARCH_3D, (), 1, 3, norm_onepass=False)
+    net1 = get_network_from_plans(arch, ARCH_3D, (), 1, 3, norm_onepass=True)
+    p2 = net2.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p1 = net1.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: jnp.array_equal(a, b), p1, p2))
+    y2 = net2.apply(p2, jnp.asarray(x), deep_supervision=True)
+    y1 = net1.apply(p2, jnp.asarray(x), deep_supervision=True)  # cross-load
+    for a, b in zip(y1, y2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
