@@ -221,6 +221,33 @@ def main():
     }))
 
 
+def _ensure_hostops():
+    """Best-effort build of engine/build/libfnn_hostops.so when absent (a
+    fresh checkout has no build tree): the turbo bench's host-preprocess /
+    streamed path needs it, and falls back to the slower device-preprocess
+    path without it. Never fatal — the bench still runs on fallback."""
+    import os
+    import subprocess
+    root = os.path.dirname(os.path.abspath(__file__))
+    so = os.path.join(root, "engine", "build", "libfnn_hostops.so")
+    if os.path.exists(so):
+        return
+    try:
+        subprocess.run(["cmake", "-B", "build", "-G", "Ninja",
+                        "-DCMAKE_BUILD_TYPE=Release"],
+                       cwd=os.path.join(root, "engine"), timeout=120,
+                       capture_output=True, check=True)
+        subprocess.run(["cmake", "--build", "build", "--target",
+                        "fnn_hostops"],
+                       cwd=os.path.join(root, "engine"), timeout=240,
+                       capture_output=True, check=True)
+        print("built libfnn_hostops.so for the host-preprocess path",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - fallback path exists
+        print("hostops build unavailable (device-preprocess fallback):",
+              repr(e)[:150], file=sys.stderr)
+
+
 def main_turbo(args):
     """Default mode: the reference-equivalent predict contract. A
     512x512x500 HU CT volume ALREADY IN MEMORY -> one device call
@@ -228,6 +255,7 @@ def main_turbo(args):
     s2d sliding-window sweep + nearest revert to the original grid) ->
     uint8 mask in memory. File IO is measured separately by --e2e."""
     import os
+    _ensure_hostops()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")

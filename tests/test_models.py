@@ -209,13 +209,16 @@ def test_remat_same_params_outputs_grads(arch_name, kw):
 
     def build(remat):
         net = get_network_from_plans(arch_name, kw, (), 1, 3, remat=remat)
-        params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        # jit init/fwd/grad: one compile each (persistently cached) instead
+        # of thousands of eager per-op dispatches every run
+        params = jax.jit(net.init)(jax.random.PRNGKey(0), jnp.asarray(x))
 
         def loss(p):
             out = net.apply(p, jnp.asarray(x))
             return jnp.mean(out.astype(jnp.float32) ** 2)
 
-        return params, net.apply(params, jnp.asarray(x)), jax.grad(loss)(params)
+        fwd = jax.jit(lambda p: net.apply(p, jnp.asarray(x)))
+        return params, fwd(params), jax.jit(jax.grad(loss))(params)
 
     p0, y0, g0 = build(False)
     p1, y1, g1 = build(True)
