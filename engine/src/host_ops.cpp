@@ -69,22 +69,31 @@ AxisTable linear_table(int64_t n_in, int64_t n_out) {
 
 extern "C" {
 
-// (n_ch, d, h, w) C-contiguous int16 HU -> (n_ch, od, oh, ow) bf16 (as
-// uint16 bit patterns): per-channel clip to [lb, ub], z-score with
-// (mean, std), trilinear resize with half-pixel centers. Returns 0 on
-// success. Single-threaded by design (the serving box is 1-core; threads
-// would fight the Python process).
-int fnn_preprocess_ct_i16(const int16_t* src, const int64_t* in_shape,
-                          int64_t n_ch, const float* lb, const float* ub,
-                          const float* mean, const float* stdv,
-                          const int64_t* out_shape, uint16_t* out) {
-    if (!src || !in_shape || !out_shape || !out || n_ch < 1) return 1;
+// Core of the preprocess: compute output voxels in the half-open box
+// [k0,k1)x[j0,j1)x[i0,i1) of the FULL out_shape grid, written compactly
+// into `out` of shape (n_ch, k1-k0, j1-j0, i1-i0). Per-voxel math is a
+// function of the voxel's FULL-grid index only, so any box is bit-identical
+// to the same region of a whole-grid call — this is what lets the streamed
+// turbo pipeline preprocess x-strips lazily, overlapped with the previous
+// strip's H2D transfer (docs/Performance.md round-5).
+int fnn_preprocess_ct_i16_box(const int16_t* src, const int64_t* in_shape,
+                              int64_t n_ch, const float* lb, const float* ub,
+                              const float* mean, const float* stdv,
+                              const int64_t* out_shape, const int64_t* box,
+                              uint16_t* out) {
+    if (!src || !in_shape || !out_shape || !box || !out || n_ch < 1) return 1;
     const int64_t D = in_shape[0], H = in_shape[1], W = in_shape[2];
     const int64_t OD = out_shape[0], OH = out_shape[1], OW = out_shape[2];
     if (D < 1 || H < 1 || W < 1 || OD < 1 || OH < 1 || OW < 1) return 2;
+    const int64_t k0 = box[0], k1 = box[1], j0 = box[2], j1 = box[3],
+                  i0 = box[4], i1 = box[5];
+    if (k0 < 0 || k1 > OD || j0 < 0 || j1 > OH || i0 < 0 || i1 > OW ||
+        k0 >= k1 || j0 >= j1 || i0 >= i1) return 3;
     AxisTable td = linear_table(D, OD), th = linear_table(H, OH),
               tw = linear_table(W, OW);
-    const int64_t in_plane = D * H * W, out_plane = OD * OH * OW;
+    const int64_t in_plane = D * H * W;
+    const int64_t BD = k1 - k0, BH = j1 - j0, BW = i1 - i0;
+    const int64_t out_plane = BD * BH * BW;
     // row scratch: for a fixed (k, j) output row, the 4 source rows
     // (d0/d1 x h0/h1) are contiguous W-runs; lerp them W-wise
     for (int64_t c = 0; c < n_ch; ++c) {
@@ -92,18 +101,18 @@ int fnn_preprocess_ct_i16(const int16_t* src, const int64_t* in_shape,
         uint16_t* o = out + c * out_plane;
         const float lo_v = lb[c], hi_v = ub[c];
         const float m = mean[c], inv = 1.0f / std::max(stdv[c], 1e-8f);
-        for (int64_t k = 0; k < OD; ++k) {
+        for (int64_t k = k0; k < k1; ++k) {
             const int64_t d0 = td.lo[k] * H * W, d1 = td.hi[k] * H * W;
             const float wd = td.w[k];
-            for (int64_t j = 0; j < OH; ++j) {
+            for (int64_t j = j0; j < j1; ++j) {
                 const int64_t h0 = th.lo[j] * W, h1 = th.hi[j] * W;
                 const float wh = th.w[j];
                 const int16_t* r00 = s + d0 + h0;
                 const int16_t* r01 = s + d0 + h1;
                 const int16_t* r10 = s + d1 + h0;
                 const int16_t* r11 = s + d1 + h1;
-                uint16_t* orow = o + (k * OH + j) * OW;
-                for (int64_t i = 0; i < OW; ++i) {
+                uint16_t* orow = o + ((k - k0) * BH + (j - j0)) * BW - i0;
+                for (int64_t i = i0; i < i1; ++i) {
                     const int64_t w0 = tw.lo[i], w1 = tw.hi[i];
                     const float ww = tw.w[i];
                     auto cl = [&](int16_t v) {
@@ -122,6 +131,68 @@ int fnn_preprocess_ct_i16(const int16_t* src, const int64_t* in_shape,
             }
         }
     }
+    return 0;
+}
+
+// (n_ch, d, h, w) C-contiguous int16 HU -> (n_ch, od, oh, ow) bf16 (as
+// uint16 bit patterns): per-channel clip to [lb, ub], z-score with
+// (mean, std), trilinear resize with half-pixel centers. Returns 0 on
+// success. Single-threaded by design (the serving box is 1-core; threads
+// would fight the Python process).
+int fnn_preprocess_ct_i16(const int16_t* src, const int64_t* in_shape,
+                          int64_t n_ch, const float* lb, const float* ub,
+                          const float* mean, const float* stdv,
+                          const int64_t* out_shape, uint16_t* out) {
+    if (!out_shape) return 1;
+    const int64_t box[6] = {0, out_shape[0], 0, out_shape[1],
+                            0, out_shape[2]};
+    return fnn_preprocess_ct_i16_box(src, in_shape, n_ch, lb, ub, mean,
+                                     stdv, out_shape, box, out);
+}
+
+// Per-axis [lo, hi) SOURCE-grid extents of the voxels where ANY channel's
+// raw HU exceeds its clip floor lb (the voxels that can normalize to
+// anything other than the air fill). One pass; air rows cost a SIMD row
+// max, body rows two short scans. Feeds the lazy streamed crop: the
+// source bbox maps conservatively to a target-grid bbox without ever
+// materializing the full preprocessed volume (turbo._source_bbox_to_target).
+// hi stays 0 when the whole volume is at/below the floor.
+int fnn_nonair_bbox_i16(const int16_t* src, const int64_t* in_shape,
+                        int64_t n_ch, const float* lb,
+                        int64_t* out_lo, int64_t* out_hi) {
+    if (!src || !in_shape || !lb || !out_lo || !out_hi || n_ch < 1) return 1;
+    const int64_t D = in_shape[0], H = in_shape[1], W = in_shape[2];
+    if (D < 1 || H < 1 || W < 1) return 2;
+    int64_t dlo = D, dhi = 0, hlo = H, hhi = 0, wlo = W, whi = 0;
+    for (int64_t c = 0; c < n_ch; ++c) {
+        // v > lb  <=>  v >= thr with thr = lb+1 (integral lb) / ceil(lb)
+        const float f = std::ceil(lb[c]);
+        const float thrf = (f == lb[c]) ? f + 1.0f : f;
+        if (thrf > 32767.0f) continue;  // nothing can exceed the floor
+        const int16_t thr = static_cast<int16_t>(
+            std::max(-32768.0f, thrf));
+        const int16_t* s = src + c * D * H * W;
+        for (int64_t d = 0; d < D; ++d) {
+            for (int64_t h = 0; h < H; ++h) {
+                const int16_t* row = s + (d * H + h) * W;
+                int16_t mx = row[0];
+                for (int64_t i = 1; i < W; ++i) mx = std::max(mx, row[i]);
+                if (mx < thr) continue;
+                dlo = std::min(dlo, d); dhi = std::max(dhi, d + 1);
+                hlo = std::min(hlo, h); hhi = std::max(hhi, h + 1);
+                int64_t a = 0;
+                while (a < wlo && row[a] < thr) ++a;
+                wlo = std::min(wlo, a);
+                int64_t b = W;
+                while (b > whi && row[b - 1] < thr) --b;
+                whi = std::max(whi, b);
+            }
+        }
+    }
+    out_lo[0] = dlo; out_lo[1] = hlo; out_lo[2] = wlo;
+    out_hi[0] = dhi; out_hi[1] = hhi; out_hi[2] = whi;
+    if (dhi <= dlo) { out_lo[0] = out_lo[1] = out_lo[2] = 0;
+                      out_hi[0] = out_hi[1] = out_hi[2] = 0; }
     return 0;
 }
 

@@ -163,6 +163,27 @@ def _bucket_extent(l: int, h: int, s: int, bucket: int):
     return lf, lf + size
 
 
+def _source_range_to_target(n_in: int, n_out: int, slo: int, shi: int):
+    """Conservative map of a SOURCE-axis non-air range [slo, shi) to the
+    TARGET-axis range of trilinear-output voxels that can differ from the
+    fill: target j touches source samples lo[j]/hi[j] (jax.image.resize's
+    half-pixel rule, f32 arithmetic like engine/src/host_ops.cpp
+    linear_table); j can be non-fill only when [lo[j], hi[j]] intersects
+    [slo, shi). Every excluded voxel interpolates equal clip-floor
+    neighbors, so it lands on the fill bit pattern exactly — the bbox is a
+    superset of the grid-scan one and crop reinsertion stays bit-exact."""
+    i = np.arange(n_out, dtype=np.float32)
+    x = (i + np.float32(0.5)) * (np.float32(n_in) / np.float32(n_out)) \
+        - np.float32(0.5)
+    lo = np.floor(x).astype(np.int64)
+    hi = np.clip(lo + 1, 0, n_in - 1)
+    lo = np.clip(lo, 0, n_in - 1)
+    nz = np.flatnonzero((hi >= slo) & (lo <= shi - 1))
+    if nz.size == 0:  # degenerate geometry; never drop voxels
+        return 0, n_out
+    return int(nz[0]), int(nz[-1]) + 1
+
+
 def _crop_to_fill_bbox(arr: np.ndarray, fill_bits, bucket: int = 32):
     """arr: (C, d, h, w) bfloat16. Returns (crop_box, slab) where slab is
     the contiguous sub-volume outside of which EVERY channel equals its
@@ -455,7 +476,8 @@ class TurboPipeline:
         return entry
 
     # ------------------------------------------------------------- streamed pipeline
-    def _predict_streamed(self, stacked, grid, new_shape, n_folds: int):
+    def _predict_streamed(self, stacked, grid, new_shape, n_folds: int,
+                          lazy=None):
         """STREAMED turbo sweep: one jitted program per x-chunk so the strip
         uploads and finalized-row fetches OVERLAP device compute.
 
@@ -478,9 +500,21 @@ class TurboPipeline:
         confined to air regions (pinned by tests/test_turbo_stream.py).
 
         grid: (C, *new_shape_img) bf16 host-preprocessed volume (image axis
-        order, from engine/src/host_ops.cpp). Returns the uint8 seg on the
-        engine-order new_shape grid, or None when the path does not apply
-        (single chunk / pallas-s2d grid / odd rolls)."""
+        order, from engine/src/host_ops.cpp) — or None with `lazy` set, in
+        which case each x-strip is preprocessed from the RAW int16 volume
+        on demand (hostops.preprocess_ct_i16_box, bit-identical per voxel
+        to the whole-grid call) right when it is device_put: the ~1.2 s
+        single-core C++ preprocess then overlaps the earlier strips'
+        transfers and the device compute instead of preceding them. The
+        crop bbox comes from a native raw-HU scan (hostops.nonair_bbox_i16)
+        mapped conservatively to the target grid (_source_range_to_target);
+        the extra included voxels are exactly-fill, so masks stay bit-equal
+        to the fused path. lazy = {"raw": (C,D,H,W) int16 image-order
+        volume, "img_shape": new_shape in image axis order}.
+
+        Returns the uint8 seg on the engine-order new_shape grid, or None
+        when the path does not apply (single chunk / pallas-s2d grid / odd
+        rolls / lazy without box-capable hostops)."""
         import functools
 
         import jax
@@ -517,10 +551,33 @@ class TurboPipeline:
         bits = [_fill_bf16_bits(c) for c in cfg.channels]
         tf = cfg.transpose_forward
         t0 = tf[0]
-        img_shape = grid.shape[1:]
+        if lazy is not None:
+            from ..utils import hostops
+            if not hostops.has_box():
+                return None  # caller falls back to the whole-grid path
+            img_shape = tuple(int(s) for s in lazy["img_shape"])
+            raw = np.ascontiguousarray(lazy["raw"])
+        else:
+            img_shape = grid.shape[1:]
         assert img_shape[t0] == new_shape[0], (img_shape, new_shape, tf)
         if os.environ.get("FNN_HOST_CROP", "1") == "1":
-            lo, hi = _nonfill_bbox(grid, bits, self.crop_bucket)
+            if lazy is not None:
+                res = hostops.nonair_bbox_i16(
+                    raw, [c["lower_bound"] for c in cfg.channels])
+                if res is None:
+                    return None
+                slo, shi = res
+                if shi[0] <= slo[0]:  # all air (mirror _nonfill_bbox)
+                    lo = [0] * 3
+                    hi = [min(self.crop_bucket, s) for s in img_shape]
+                else:
+                    pairs = [_source_range_to_target(
+                        raw.shape[1 + ax], img_shape[ax], slo[ax], shi[ax])
+                        for ax in range(3)]
+                    lo = [p[0] for p in pairs]
+                    hi = [p[1] for p in pairs]
+            else:
+                lo, hi = _nonfill_bbox(grid, bits, self.crop_bucket)
         else:
             lo, hi = [0] * 3, list(img_shape)
         box = tuple(
@@ -718,16 +775,32 @@ class TurboPipeline:
                               for k in range(1, n_starts)]
 
         def strip_np(a, b):
+            if lazy is not None:
+                # preprocess exactly this strip's box of the target grid
+                # from the raw volume — called right before its device_put,
+                # so the CPU work overlaps the in-flight strips' transfers
+                # and the device compute of earlier chunks
+                box6 = []
+                for ax in range(3):
+                    box6 += ([a, min(b, img_shape[ax])] if ax == t0
+                             else [box[ax][0], box[ax][1]])
+                chs = cfg.channels
+                s = hostops.preprocess_ct_i16_box(
+                    raw, img_shape, box6,
+                    [c["lower_bound"] for c in chs],
+                    [c["upper_bound"] for c in chs],
+                    [c["mean"] for c in chs], [c["std"] for c in chs])
+                assert s is not None
+                return s
             sl = [slice(None)]
             for ax in range(3):
                 sl.append(slice(a, min(b, img_shape[ax])) if ax == t0
                           else slice(box[ax][0], box[ax][1]))
             return np.ascontiguousarray(grid[tuple(sl)])
 
-        strips = [strip_np(a, b) for a, b in bounds]
-        dstrips = [jax.device_put(strips[0])]
+        dstrips = [jax.device_put(strip_np(*bounds[0]))]
         if n_starts >= 2:
-            dstrips.append(jax.device_put(strips[1]))
+            dstrips.append(jax.device_put(strip_np(*bounds[1])))
 
         prep0 = fns.get("prep0")
         if prep0 is None:
@@ -741,8 +814,8 @@ class TurboPipeline:
 
         pieces = []
         for k in range(n_starts - 1):
-            if k + 2 < len(strips):
-                dstrips.append(jax.device_put(strips[k + 2]))
+            if k + 2 < len(bounds):
+                dstrips.append(jax.device_put(strip_np(*bounds[k + 2])))
             a, b = bounds[k + 1]
             srows, srows_data = b - a, min(b, nx) - a
             ck = ("chunk", rolls_h[k], srows, srows_data)
@@ -818,25 +891,39 @@ class TurboPipeline:
             new_shape_img = tuple(new_shape[inv[p]]
                                   for p in range(len(new_shape)))
             chs = cfg.channels
+
+            def _finish_streamed(seg):
+                if seg.shape != vol_t.shape[1:]:
+                    rev = hostops.nearest_revert_u8(seg, vol_t.shape[1:])
+                    seg = rev if rev is not None else \
+                        _nearest_revert_host(seg, vol_t.shape[1:])
+                return np.transpose(seg, cfg.transpose_backward)
+
+            stream_on = os.environ.get("FNN_TURBO_STREAM", "1") == "1"
+            if stream_on and hostops.has_box():
+                # streamed mode, LAZY preprocess: each x-strip is clipped/
+                # z-scored/resampled from the raw int16 volume right before
+                # its device_put, so the ~1.2 s single-core C++ preprocess
+                # overlaps the earlier strips' transfers and device compute
+                # instead of preceding them. None = geometry doesn't
+                # stream, fall through to the fused single-dispatch program
+                seg = self._predict_streamed(
+                    stacked, None, new_shape, len(params_list),
+                    lazy={"raw": volume, "img_shape": new_shape_img})
+                if seg is not None:
+                    return _finish_streamed(seg)
             upload = hostops.preprocess_ct_i16(
                 volume, new_shape_img,
                 [c["lower_bound"] for c in chs], [c["upper_bound"] for c in chs],
                 [c["mean"] for c in chs], [c["std"] for c in chs])
             pre = upload is not None
-            if pre and os.environ.get("FNN_TURBO_STREAM", "1") == "1":
-                # streamed mode: per-chunk dispatches with strip-upload /
-                # row-fetch overlap (the wall win on slow device links);
-                # None = geometry doesn't stream, fall through to the
-                # fused single-dispatch program
+            if pre and stream_on and not hostops.has_box():
+                # old prebuilt hostops without the box API: streamed mode
+                # over the whole preprocessed grid (round-5 original form)
                 seg = self._predict_streamed(stacked, upload, new_shape,
                                              len(params_list))
                 if seg is not None:
-                    if seg.shape != vol_t.shape[1:]:
-                        from ..utils import hostops as _h
-                        rev = _h.nearest_revert_u8(seg, vol_t.shape[1:])
-                        seg = rev if rev is not None else \
-                            _nearest_revert_host(seg, vol_t.shape[1:])
-                    return np.transpose(seg, cfg.transpose_backward)
+                    return _finish_streamed(seg)
             if pre and os.environ.get("FNN_HOST_CROP", "1") == "1":
                 # everything the CT clip floor mapped exactly to the fill
                 # (air) need not cross the link: upload only the non-fill

@@ -273,3 +273,72 @@ def test_crop_to_fill_bbox_reconstructs_exactly():
                 box[0][2]:box[1][2]] = slab
         np.testing.assert_array_equal(rebuilt.view(np.uint16),
                                       arr.view(np.uint16))
+
+
+def test_preprocess_box_bit_equal_to_full_grid():
+    """fnn_preprocess_ct_i16_box must be bit-identical to the same region
+    of a whole-grid call — the invariant that makes the lazy streamed
+    preprocess (strips on demand) bit-equal to the round-5 eager form."""
+    if not hostops.has_box():
+        pytest.skip("hostops built without the box API")
+    rng = np.random.RandomState(3)
+    vol = (rng.rand(2, 37, 44, 29) * 900 - 300).astype(np.int16)
+    out_shape = (29, 51, 23)
+    lb, ub = [-60.0, -100.0], [400.0, 800.0]
+    mean, std = [40.0, 10.0], [100.0, 221.7]
+    full = hostops.preprocess_ct_i16(vol, out_shape, lb, ub, mean, std)
+    for box in [(0, 29, 0, 51, 0, 23), (3, 17, 5, 40, 2, 21),
+                (28, 29, 50, 51, 22, 23), (0, 1, 0, 51, 0, 23)]:
+        sub = hostops.preprocess_ct_i16_box(vol, out_shape, box, lb, ub,
+                                            mean, std)
+        ref = full[:, box[0]:box[1], box[2]:box[3], box[4]:box[5]]
+        assert np.array_equal(sub.view(np.uint16), ref.view(np.uint16)), box
+
+
+def test_nonair_bbox_matches_numpy():
+    """fnn_nonair_bbox_i16 == the numpy any-channel > clip-floor bbox,
+    including non-integral floors and the all-air sentinel."""
+    if not hostops.has_box():
+        pytest.skip("hostops built without the box API")
+    rng = np.random.RandomState(5)
+    vol = np.full((2, 21, 34, 27), -1000, np.int16)
+    vol[0, 4:17, 9:30, 3:22] = (rng.rand(13, 21, 19) * 500 - 70).astype(
+        np.int16)
+    vol[1, 2:5, 1:4, 24:26] = 77  # second channel widens the box
+    for lb in ([-60.0, -59.5], [-60.0, 50.0]):
+        got = hostops.nonair_bbox_i16(vol, lb)
+        assert got is not None
+        mask = np.zeros(vol.shape[1:], bool)
+        for c in range(2):
+            mask |= vol[c] > lb[c]
+        lo = [int(np.flatnonzero(mask.any(axis=tuple(
+            a for a in range(3) if a != ax)))[0]) for ax in range(3)]
+        hi = [int(np.flatnonzero(mask.any(axis=tuple(
+            a for a in range(3) if a != ax)))[-1]) + 1 for ax in range(3)]
+        assert got == (lo, hi), (lb, got, (lo, hi))
+    allair = np.full((1, 6, 6, 6), -1000, np.int16)
+    assert hostops.nonair_bbox_i16(allair, [-60.0]) == ([0] * 3, [0] * 3)
+
+
+def test_source_range_to_target_is_conservative():
+    """Every trilinear-output voxel OUTSIDE the mapped target range must be
+    exactly the fill bit pattern (its sample neighbors are all at the clip
+    floor), for up-, down-, and non-uniform resampling factors."""
+    if not hostops.has_box():
+        pytest.skip("hostops built without the box API")
+    from fast_nnunet_tpu.inference.turbo import (_fill_bf16_bits,
+                                                 _source_range_to_target)
+    rng = np.random.RandomState(11)
+    for n_in, n_out in [(40, 29), (17, 43), (33, 33), (9, 64)]:
+        vol = np.full((1, n_in, 10, 10), -1000, np.int16)
+        slo, shi = 3, max(4, n_in // 2)
+        vol[0, slo:shi] = (rng.rand(shi - slo, 10, 10) * 400).astype(np.int16)
+        out_shape = (n_out, 10, 10)
+        grid = hostops.preprocess_ct_i16(vol, out_shape, [-60.0], [400.0],
+                                         [40.0], [100.0])
+        fill = np.uint16(_fill_bf16_bits(
+            {"lower_bound": -60.0, "mean": 40.0, "std": 100.0}))
+        lo, hi = _source_range_to_target(n_in, n_out, slo, shi)
+        bits = grid.view(np.uint16)[0]
+        assert (bits[:lo] == fill).all() and (bits[hi:] == fill).all(), \
+            (n_in, n_out, lo, hi)

@@ -118,3 +118,30 @@ def test_streamed_no_crop_env(monkeypatch):
     monkeypatch.setenv("FNN_TURBO_STREAM", "1")
     seg_stream = _pipe(eng, air_skip=False).predict_volume(sp, vol, spacing)
     np.testing.assert_array_equal(seg_fused, seg_stream)
+
+
+def test_streamed_lazy_bit_equals_grid_streamed(monkeypatch):
+    """The lazy-preprocess streamed path (strips preprocessed on demand
+    from the raw int16 volume, crop bbox from the native raw-HU scan) must
+    be bit-equal to the eager form that preprocesses the whole grid first:
+    per-strip C++ output is bit-identical per voxel (box invariant), and
+    the conservative raw-derived bbox only adds exactly-fill voxels."""
+    from fast_nnunet_tpu.utils import hostops
+    if not hostops.has_box():
+        import pytest
+        pytest.skip("hostops built without the box API")
+    eng, sp = _make(K=3)
+    vol, spacing = _vol()
+    monkeypatch.setenv("FNN_TURBO_STREAM", "1")
+    pipe_lazy = _pipe(eng, air_skip=False)
+    seg_lazy = pipe_lazy.predict_volume(sp, vol, spacing)
+    assert any(isinstance(k, tuple) and k and k[0] == "stream"
+               for k in pipe_lazy._jit_cache), "streamed path did not engage"
+    # eager form: force the whole-grid preprocess + grid-based streaming by
+    # hiding the box API from the pipeline
+    monkeypatch.setattr(hostops, "has_box", lambda: False)
+    pipe_grid = _pipe(eng, air_skip=False)
+    seg_grid = pipe_grid.predict_volume(sp, vol, spacing)
+    assert any(isinstance(k, tuple) and k and k[0] == "stream"
+               for k in pipe_grid._jit_cache), "grid streamed did not engage"
+    np.testing.assert_array_equal(seg_lazy, seg_grid)
