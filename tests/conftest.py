@@ -23,4 +23,4 @@ jax.config.update("jax_platforms", "cpu")
 # warm re-runs fast; a cold first run is unchanged.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("FNN_TEST_CACHE", "/root/.jax_cache_cpu_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

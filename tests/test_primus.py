@@ -38,8 +38,9 @@ def test_primus_ds_tuple():
                  num_classes=2, depth=1, num_heads=2, patch_size=(16, 8, 8),
                  drop_path_rate=0.0)
     x = jnp.zeros((1, 16, 8, 8, 1))
-    params = net.init(jax.random.PRNGKey(0), x)
-    out = net.apply(params, x, deep_supervision=True)
+    # jit init+apply: two cached compiles instead of eager per-op dispatch
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda p: net.apply(p, x, deep_supervision=True))(params)
     assert isinstance(out, tuple) and len(out) == 1
 
 
