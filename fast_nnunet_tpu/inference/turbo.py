@@ -900,7 +900,8 @@ class TurboPipeline:
                 return np.transpose(seg, cfg.transpose_backward)
 
             stream_on = os.environ.get("FNN_TURBO_STREAM", "1") == "1"
-            if stream_on and hostops.has_box():
+            lazy_on = os.environ.get("FNN_LAZY_PRE", "1") == "1"
+            if stream_on and lazy_on and hostops.has_box():
                 # streamed mode, LAZY preprocess: each x-strip is clipped/
                 # z-scored/resampled from the raw int16 volume right before
                 # its device_put, so the ~1.2 s single-core C++ preprocess
@@ -917,9 +918,10 @@ class TurboPipeline:
                 [c["lower_bound"] for c in chs], [c["upper_bound"] for c in chs],
                 [c["mean"] for c in chs], [c["std"] for c in chs])
             pre = upload is not None
-            if pre and stream_on and not hostops.has_box():
-                # old prebuilt hostops without the box API: streamed mode
-                # over the whole preprocessed grid (round-5 original form)
+            if pre and stream_on and not (lazy_on and hostops.has_box()):
+                # no box API (old prebuilt hostops) or FNN_LAZY_PRE=0:
+                # streamed mode over the whole preprocessed grid
+                # (round-5 original form)
                 seg = self._predict_streamed(stacked, upload, new_shape,
                                              len(params_list))
                 if seg is not None:
